@@ -1,0 +1,97 @@
+"""Codec registry + magic-byte sniffing.
+
+The registry is the engine's analogue of the reference's format dispatch
+table (``tag.ReadFrom``'s sniff switch, tag.go:41-56, and ``Identify``,
+id.go:9-81): a static magic-prefix table consulted per row, plus
+per-format encode / header-probe / decode / reference-decode entries.
+Module-level constants are loaded once per Ray worker process — the same
+posture as the reference's package-level lookup tables
+(SURVEY.md §2.3 T1); no actor state needed for dispatch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+import numpy as np
+
+from tag_ray.codecs import bmp, dctq, png, ppm, reference
+from tag_ray.codecs.png import DecodeError
+from tag_ray.codecs.phash import hamming64, phash64, phash_bands
+
+__all__ = [
+    "CODECS", "MAGIC_TABLE", "LOSSLESS", "DecodeError",
+    "identify", "encode", "decode", "decode_reference", "read_header",
+    "phash64", "hamming64", "phash_bands", "psnr",
+]
+
+
+@dataclass(frozen=True)
+class Codec:
+    fmt: str
+    magic: bytes
+    lossless: bool
+    encode: Callable[..., bytes]
+    read_header: Callable[..., tuple[int, int]]
+    decode: Callable[..., np.ndarray]
+    decode_reference: Callable[..., np.ndarray]
+
+
+CODECS: dict[str, Codec] = {
+    "png": Codec("png", png.PNG_SIGNATURE, True, png.encode, png.read_header,
+                 png.decode, reference.decode_png),
+    "ppm": Codec("ppm", ppm.MAGIC, True, ppm.encode, ppm.read_header,
+                 ppm.decode, reference.decode_ppm),
+    "bmp": Codec("bmp", bmp.MAGIC, True, bmp.encode, bmp.read_header,
+                 bmp.decode, reference.decode_bmp),
+    "dctq": Codec("dctq", dctq.MAGIC, False, dctq.encode, dctq.read_header,
+                  dctq.decode, reference.decode_dctq),
+}
+
+# longest-prefix-first so PNG's 8-byte signature wins over shorter magics
+MAGIC_TABLE: list[tuple[bytes, str]] = sorted(
+    ((c.magic, c.fmt) for c in CODECS.values()), key=lambda kv: -len(kv[0])
+)
+MAX_MAGIC_LEN = max(len(m) for m, _ in MAGIC_TABLE)
+LOSSLESS = frozenset(c.fmt for c in CODECS.values() if c.lossless)
+
+
+def identify(data: bytes | None) -> str | None:
+    """Magic-byte classification only (no parse) — tag.Identify (id.go:9-81)."""
+    if not data:
+        return None
+    for magic, fmt in MAGIC_TABLE:
+        if data[: len(magic)] == magic:
+            return fmt
+    return None
+
+
+def encode(fmt: str, pixels: np.ndarray, **kw) -> bytes:
+    return CODECS[fmt].encode(pixels, **kw)
+
+
+def read_header(fmt: str, data: bytes, max_pixels: int = 1 << 26) -> tuple[int, int]:
+    return CODECS[fmt].read_header(data, max_pixels=max_pixels)
+
+
+def decode(fmt: str, data: bytes, max_pixels: int = 1 << 26) -> np.ndarray:
+    return CODECS[fmt].decode(data, max_pixels=max_pixels)
+
+
+def decode_reference(fmt: str, data: bytes, max_pixels: int = 1 << 26) -> np.ndarray:
+    return CODECS[fmt].decode_reference(data, max_pixels=max_pixels)
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB between two uint8 pixel arrays.
+
+    inf when identical — lossless formats must hit inf, lossy must clear
+    the configured floor (EngineConfig.psnr_min_db, default 40 dB).
+    """
+    if a.shape != b.shape:
+        return float("-inf")
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0.0:
+        return float("inf")
+    return float(20.0 * np.log10(255.0) - 10.0 * np.log10(mse))

@@ -1,0 +1,75 @@
+"""64-bit DCT perceptual hash + vectorized Hamming distance.
+
+The engine analogue of the reference's metadata-invariant content
+checksum (``tag.Sum``, sum.go:14-44): a payload-identity fingerprint
+robust to the container format, used both for the per-row declared-hash
+invariant and for cluster-level near-duplicate detection
+(cmd/check/main.go:190's hash-multiplicity histogram, approximate flavor).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_N = 32  # resample grid
+_dk = np.arange(_N, dtype=np.float64)
+_DCT32 = np.cos(np.pi * (2 * _dk[None, :] + 1) * _dk[:, None] / (2 * _N)) * np.sqrt(2.0 / _N)
+_DCT32[0] /= np.sqrt(2.0)
+_BITS = (np.uint64(1) << np.arange(64, dtype=np.uint64)).astype(np.uint64)
+
+
+def _resize_area(gray: np.ndarray, n: int = _N) -> np.ndarray:
+    """Deterministic resize to (n, n): area-average via integral image when
+    shrinking, nearest-index sampling when a dimension is smaller than n."""
+    h, w = gray.shape
+    if h < n or w < n:
+        yi = np.minimum((np.arange(n) * h) // n, h - 1)
+        xi = np.minimum((np.arange(n) * w) // n, w - 1)
+        return gray[np.ix_(yi, xi)].astype(np.float64)
+    ii = np.zeros((h + 1, w + 1), dtype=np.float64)
+    np.cumsum(np.cumsum(gray, axis=0), axis=1, out=ii[1:, 1:])
+    ye = (np.arange(n + 1, dtype=np.int64) * h) // n  # strictly increasing: h >= n
+    xe = (np.arange(n + 1, dtype=np.int64) * w) // n
+    sums = ii[ye[1:, None], xe[None, 1:]] - ii[ye[:-1, None], xe[None, 1:]] \
+        - ii[ye[1:, None], xe[None, :-1]] + ii[ye[:-1, None], xe[None, :-1]]
+    areas = (ye[1:, None] - ye[:-1, None]) * (xe[None, 1:] - xe[None, :-1])
+    return sums / areas
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """(h, w, 3) uint8 → signed 64-bit perceptual hash (storable as int64)."""
+    gray = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    small = _resize_area(gray)
+    freq = _DCT32 @ small @ _DCT32.T
+    block = freq[:8, :8].ravel()
+    med = np.median(block[1:])  # exclude DC term from the threshold
+    bits = block > med
+    bits[0] = False
+    word = np.uint64(0)
+    word = (bits.astype(np.uint64) * _BITS).sum(dtype=np.uint64)
+    return int(word.astype(np.int64))
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized popcount(xor) over int64 arrays → int32 distances."""
+    x = (np.asarray(a, dtype=np.int64).view(np.uint64)
+         ^ np.asarray(b, dtype=np.int64).view(np.uint64))
+    by = x.reshape(-1, 1).view(np.uint8)
+    return np.unpackbits(by, axis=1).sum(axis=1).astype(np.int32)
+
+
+def phash_bands(phash: np.ndarray, n_bands: int = 4) -> np.ndarray:
+    """Split 64-bit hashes into ``n_bands`` equal bit-bands → (rows, n_bands) int64.
+
+    Pigeonhole guarantee: two hashes within Hamming distance d share at
+    least ``n_bands - d`` bands, so any-band-equality with 4 bands has
+    full recall for d ≤ 3 — the candidate-generation step of the
+    near-dup groupby (SURVEY.md §2.4 J3).
+    """
+    u = np.asarray(phash, dtype=np.int64).view(np.uint64)
+    width = 64 // n_bands
+    mask = np.uint64((1 << width) - 1)
+    out = np.empty((u.shape[0], n_bands), dtype=np.int64)
+    for i in range(n_bands):
+        out[:, i] = ((u >> np.uint64(i * width)) & mask).astype(np.int64)
+    return out

@@ -1,0 +1,55 @@
+"""Engine configuration.
+
+The reference exposes exactly one config knob
+(``DefaultUTF16WithBOMByteOrder``, id3v2frames.go:18) as a package-level
+var; the engine generalizes that into one explicit config object passed
+into stages/actors so every tolerance is visible and test-settable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # --- per-row invariant tolerances (BASELINE.json input_hint) ---
+    psnr_min_db: float = 40.0          # lossy decode invariant threshold
+    phash_max_hamming: int = 2         # declared-phash vs recomputed-phash tolerance
+    near_dup_max_hamming: int = 2      # phash near-duplicate clustering radius
+
+    # --- declared-size / allocation guards (util.go:44-54 analogue) ---
+    max_decode_bytes: int = 64 * 1024 * 1024   # refuse to decode cells larger than this
+    max_pixels: int = 64 * 1024 * 1024         # refuse w*h beyond this before allocating
+
+    # --- declared-dims sanity range (range check) ---
+    min_dim: int = 1
+    max_dim: int = 1 << 20
+
+    # --- batch/stage sizing (image payloads are KB..MB scale → small batches) ---
+    validate_batch_size: int = 256
+    validate_concurrency: int | tuple[int, int] = 4
+    stats_batch_size: int = 4096
+    stats_concurrency: int | tuple[int, int] = 2
+
+    # --- shuffle / skew ---
+    dedup_num_partitions: int = 16
+    salt_buckets: int = 8              # salting factor for skewed caption keys
+
+    # --- sketches ---
+    hll_precision: int = 12            # 2^12 registers ≈ 1.6% rel. error
+    tdigest_max_centroids: int = 128
+
+    # --- drift ---
+    psi_threshold: float = 0.2         # industry-standard "significant shift"
+    drift_bins: int = 10
+
+    # --- fixture generation (deterministic; FIXTURES.md) ---
+    seed: int = 42
+    formats: tuple[str, ...] = ("png", "ppm", "bmp", "dctq")
+
+    # caption golden source: reference-id table carries caption_md5
+    extras: dict = field(default_factory=dict, compare=False)
+
+
+DEFAULT_CONFIG = EngineConfig()

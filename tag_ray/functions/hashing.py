@@ -1,0 +1,77 @@
+"""Stable, vectorized hashing helpers.
+
+Engine analogues of the reference's scalar byte helpers (util.go:13-102)
+and content-checksum family (sum.go) — but vectorized: every function
+here takes a column (numpy / Arrow) and returns a column. Python's
+builtin ``hash`` is salted per process and MUST NOT be used for
+partitioning keys (different Ray workers would disagree); everything
+here is process-stable and deterministic.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+try:  # polars ships a vectorized stable xxhash — preferred in hot paths
+    import polars as pl
+    _HAVE_POLARS = True
+except ImportError:  # pragma: no cover
+    _HAVE_POLARS = False
+
+_HASH_SEED = 0xC0FFEE  # fixed: results must agree across workers and runs
+
+
+def hash_strings64(values: pa.Array | pa.ChunkedArray | np.ndarray | list) -> np.ndarray:
+    """Stable 64-bit hash of a string column → uint64 ndarray (vectorized)."""
+    if _HAVE_POLARS:
+        if isinstance(values, (pa.Array, pa.ChunkedArray)):
+            s = pl.from_arrow(values)
+        else:
+            s = pl.Series(list(values))
+        return s.hash(seed=_HASH_SEED).fill_null(0).to_numpy().astype(np.uint64)
+    # fallback: crc32 pairs (slow scalar path, only if polars is absent)
+    out = np.empty(len(values), dtype=np.uint64)
+    vals = values.to_pylist() if isinstance(values, (pa.Array, pa.ChunkedArray)) else values
+    for i, v in enumerate(vals):
+        if v is None:
+            out[i] = 0
+        else:
+            b = v.encode() if isinstance(v, str) else bytes(v)
+            out[i] = (zlib.crc32(b) << 32) | zlib.crc32(b[::-1])
+    return out
+
+
+def bucket_of(values, n_buckets: int) -> np.ndarray:
+    """Stable partition/bucket assignment for a string key column → int32."""
+    return (hash_strings64(values) % np.uint64(n_buckets)).astype(np.int32)
+
+
+def md5_hex(value: str | bytes) -> str:
+    b = value.encode() if isinstance(value, str) else value
+    return hashlib.md5(b).hexdigest()
+
+
+def md5_hex_column(values: pa.Array | pa.ChunkedArray) -> list[str | None]:
+    """Per-row md5 hex of a string column (matches DuckDB ``md5(text)``)."""
+    return [None if v is None else hashlib.md5(v.encode()).hexdigest()
+            for v in values.to_pylist()]
+
+
+def sha1_hex(data: bytes) -> str:
+    """Payload checksum — the reference's hashSum (sum.go:217-219)."""
+    return hashlib.sha1(data).hexdigest()
+
+
+def stable_row_seed(*parts) -> np.random.Generator:
+    """Deterministic per-row RNG: seeds from a tuple (seed, row_idx, tag...)."""
+    return np.random.default_rng([abs(hash_int(p)) for p in parts])
+
+
+def hash_int(p) -> int:
+    if isinstance(p, int):
+        return p & 0x7FFFFFFF
+    return zlib.crc32(str(p).encode())
