@@ -1,44 +1,136 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship validation sweep; ``queries()`` exposes
+one callable per implemented operator/pipeline (SURVEY.md §2);
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible query (tables pre-registered as views by the driver).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported — no
+ray.init()/ray.shutdown() anywhere in the library or these callables.
+
+The image+caption table (BASELINE.json input_hint shape) is synthesized
+deterministically per scale factor (FIXTURES.md; seeded, cached under
+/tmp) — its checks are non-SQL-expressible (pixel decode), so img_*
+queries carry no oracle entry and get the driver's rows-only check;
+their real gate is the golden-matrix pytest suite.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+_SF_IMAGE_ROWS = {  # deterministic corpus size per scale factor dir
+    "sf0.001": (1_000, 4),
+    "sf0.01": (10_000, 8),
+    "sf0.1": (50_000, 32),
+}
+
+
+def _image_corpus(sf_dir: str) -> str:
+    from tag_ray.fixtures import cached_corpus
+
+    name = os.path.basename(os.path.normpath(sf_dir))
+    rows, parts = _SF_IMAGE_ROWS.get(name, (1_000, 4))
+    return cached_corpus(n_rows=rows, n_partitions=parts, seed=42)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full constraint sweep at smoke scale → violations Dataset."""
+    from tag_ray.pipelines import validate as V
+
+    corpus = _image_corpus("/root/testdata/sf0.001")
+    return V.validate(corpus + "/images", corpus + "/ref_ids.parquet")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from tag_ray.pipelines import dedup as D
+    from tag_ray.pipelines import drift as DR
+    from tag_ray.pipelines import embeddings as E
+    from tag_ray.pipelines import relational as R
+    from tag_ray.pipelines import text as T
+    from tag_ray.pipelines import validate as V
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def img_validate(sf_dir: str):
+        c = _image_corpus(sf_dir)
+        return V.validate(c + "/images", c + "/ref_ids.parquet")
+
+    def img_partition_status(sf_dir: str):
+        c = _image_corpus(sf_dir)
+        v = V.validate(c + "/images", c + "/ref_ids.parquet")
+        return V.partition_status(c + "/images", v)
+
+    def img_drift(sf_dir: str):
+        c = _image_corpus(sf_dir)
+        out = DR.feature_drift(V.read_images(c + "/images"))
+        return out[["partition_id", "feature", "n", "drifted"]]
+
+    return {
+        # --- image+caption table (input_hint; non-SQL → rows-only check) ---
+        "img_validate": img_validate,
+        "img_partition_status": img_partition_status,
+        "img_drift": img_drift,
+        # --- relational operator surface (oracle-checked) ---
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "q3_revenue_topk": R.q3_revenue_topk,
+        "q5_region_revenue": R.q5_region_revenue,
+        "orders_priority_count": R.orders_priority_count,
+        "top_customers": R.top_customers,
+        "ref_orphan_orders": R.ref_orphan_orders,
+        "uniqueness_orderkey": R.uniqueness_orderkey,
+        "range_check_part": R.range_check_part,
+        "set_check_orders": R.set_check_orders,
+        "events_hourly": R.events_hourly,
+        "events_sessions": R.events_sessions,
+        "stats_lineitem_global": R.stats_lineitem_global,
+        # --- text analysis (oracle-checked) ---
+        "doc_lang_counts": T.doc_lang_counts,
+        "doc_token_stats": T.doc_token_stats,
+        "doc_fingerprint": T.doc_fingerprint,
+        "doc_word_topk": T.doc_word_topk,
+        "doc_lang_quality": T.doc_lang_quality,
+        "doc_langid": T.doc_langid_heuristic,
+        # --- dedup family ---
+        "doc_exact_dup_groups": D.doc_exact_dup_groups,
+        "doc_minhash_near_dups": D.doc_minhash_near_dups,
+        "doc_simhash_near_dups": D.doc_simhash_near_dups,
+        "emb_near_pairs": D.emb_near_pairs,
+        "emb_lsh_buckets": D.emb_lsh_buckets,
+        # --- similarity search / embedding stats (oracle-checked) ---
+        "emb_norms": E.emb_norms,
+        "emb_label_stats": E.emb_label_stats,
+        "emb_cosine_topk": E.emb_cosine_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from tag_ray.pipelines import dedup as D
+    from tag_ray.pipelines import embeddings as E
+    from tag_ray.pipelines import relational as R
+    from tag_ray.pipelines import text as T
+
+    return {
+        "q1_pricing_summary": R.Q1_SQL,
+        "q3_revenue_topk": R.Q3_SQL,
+        "q5_region_revenue": R.Q5_SQL,
+        "orders_priority_count": R.PRIORITY_SQL,
+        "top_customers": R.TOP_CUSTOMERS_SQL,
+        "ref_orphan_orders": R.REF_ORPHAN_SQL,
+        "uniqueness_orderkey": R.UNIQUENESS_SQL,
+        "range_check_part": R.RANGE_SQL,
+        "set_check_orders": R.SET_SQL,
+        "events_hourly": R.EVENTS_HOURLY_SQL,
+        "events_sessions": R.EVENTS_SESSIONS_SQL,
+        "stats_lineitem_global": R.STATS_LINEITEM_SQL,
+        "doc_lang_counts": T.LANG_COUNTS_SQL,
+        "doc_token_stats": T.TOKEN_STATS_SQL,
+        "doc_fingerprint": T.FINGERPRINT_SQL,
+        "doc_word_topk": T.WORD_TOPK_SQL,
+        "doc_lang_quality": T.LANG_QUALITY_SQL,
+        "doc_exact_dup_groups": D.EXACT_DUP_SQL,
+        "emb_near_pairs": D.emb_near_pairs_sql(),
+        "emb_norms": E.NORMS_SQL,
+        "emb_label_stats": E.LABEL_STATS_SQL,
+        "emb_cosine_topk": E.cosine_topk_sql(),
+    }

@@ -1,0 +1,344 @@
+"""Deduplication family over documents + embeddings.
+
+The generalization of the reference's hash-multiplicity histogram
+(cmd/check/main.go:190, SURVEY.md §2.4 J3) to a training-data pipeline:
+  - exact:   content-hash groupby (md5)
+  - near:    MinHash+LSH (shingle → minhash → band → bucket groupby)
+  - near:    SimHash (banded 64-bit, same banded engine as phash near-dup)
+  - near:    embedding-cosine pairs (brute-force baseline with oracle;
+             hyperplane-LSH variant as the scale path)
+
+All banded-LSH shuffles move only (band_id, band_val, id, signature)
+rows — never text or vectors.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data.aggregate import Count, Min, Sum
+
+from tag_ray.codecs.phash import hamming64, phash_bands
+from tag_ray.functions.hashing import hash_strings64
+from tag_ray.sources import table
+
+# ---------------------------------------------------------------------------
+# exact dedup (md5 groupby) — returns duplicate groups
+
+
+def doc_exact_dup_groups(sf_dir: str) -> rd.Dataset:
+    docs = table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fp(b: pa.Table) -> pa.Table:
+        fps = [hashlib.md5(t.encode()).hexdigest() for t in b["text"].to_pylist()]
+        return pa.Table.from_pydict(
+            {"fingerprint": pa.array(fps, pa.string()), "doc_id": b["doc_id"]})
+
+    groups = (docs.map_batches(fp, batch_format="pyarrow")
+              .groupby("fingerprint")
+              .aggregate(Count(alias_name="n"), Min("doc_id", alias_name="keep_doc_id")))
+    import pyarrow.compute as pc
+
+    from tag_ray.pipelines._util import small_result
+    return small_result(
+        groups.map_batches(lambda b: b.filter(pc.greater(b["n"], 1)),
+                           batch_format="pyarrow"),
+        {"fingerprint": "object", "n": "int64", "keep_doc_id": "int64"})
+
+
+EXACT_DUP_SQL = """
+SELECT md5(text) AS fingerprint, COUNT(*) AS n, MIN(doc_id) AS keep_doc_id
+FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+class MinHasher:
+    """128-permutation minhash over word k-shingles, vectorized.
+
+    Permutations h_i(x) = (a_i·x + b_i) mod (2^61-1); signature matrix
+    banded into ``bands`` of ``128/bands`` rows each (standard LSH)."""
+
+    def __init__(self, num_perm: int = 128, shingle_k: int = 3, seed: int = 1):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, 1 << 61, num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, 1 << 61, num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.k = shingle_k
+
+    def shingles(self, text: str) -> np.ndarray:
+        toks = text.strip().split()
+        if len(toks) < self.k:
+            grams = [" ".join(toks)] if toks else []
+        else:
+            grams = [" ".join(toks[i : i + self.k])
+                     for i in range(len(toks) - self.k + 1)]
+        return np.unique(hash_strings64(grams)) if grams else np.empty(0, np.uint64)
+
+    def signature(self, shingle_hashes: np.ndarray) -> np.ndarray:
+        if shingle_hashes.size == 0:
+            return np.full(self.num_perm, np.iinfo(np.uint64).max, np.uint64)
+        x = shingle_hashes[:, None]
+        with np.errstate(over="ignore"):
+            hv = (self.a[None, :] * x + self.b[None, :]) % _MERSENNE
+        return hv.min(axis=0)
+
+
+def _band_rows(ids: list, sigs: np.ndarray, bands: int) -> pa.Table:
+    n, num_perm = sigs.shape
+    rows_per = num_perm // bands
+    out_band, out_val, out_id = [], [], []
+    for b in range(bands):
+        seg = sigs[:, b * rows_per : (b + 1) * rows_per]
+        # one stable 64-bit value per band segment
+        val = seg[:, 0].copy()
+        for j in range(1, rows_per):
+            with np.errstate(over="ignore"):
+                val = val * np.uint64(1099511628211) ^ seg[:, j]  # FNV-style fold
+        out_band.append(np.full(n, b, np.int32))
+        out_val.append(val.view(np.int64))
+        out_id.append(ids)
+    return pa.Table.from_pydict({
+        "band_id": pa.array(np.concatenate(out_band)),
+        "band_val": pa.array(np.concatenate(out_val)),
+        "doc_id": pa.array(np.concatenate([np.asarray(i) for i in out_id])),
+    })
+
+
+def doc_minhash_candidates(docs: rd.Dataset, num_perm: int = 128,
+                           bands: int = 16, shingle_k: int = 3) -> rd.Dataset:
+    """documents → candidate near-dup pairs (doc_id_a < doc_id_b) via LSH.
+
+    Shuffle carries only (band_id, band_val, doc_id). Candidate pairs per
+    bucket are emitted by map_groups; cross-band duplicates removed by a
+    final pair-key groupby."""
+
+    class Signatures:
+        def __init__(self, num_perm, bands, k):
+            self.mh = MinHasher(num_perm, k)  # tables built once per actor
+            self.bands = bands
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            sigs = np.stack([self.mh.signature(self.mh.shingles(t))
+                             for t in b["text"].to_pylist()])
+            return _band_rows(ids, sigs, self.bands)
+
+    banded = docs.map_batches(
+        Signatures,
+        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "k": shingle_k},
+        batch_format="pyarrow", concurrency=(1, 4))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g["doc_id"].to_numpy())
+        if ids.size < 2 or ids.size > 10_000:  # skew guard on degenerate buckets
+            return pd.DataFrame({"doc_id_a": [], "doc_id_b": []})
+        a, b = np.triu_indices(ids.size, k=1)
+        return pd.DataFrame({"doc_id_a": ids[a], "doc_id_b": ids[b]})
+
+    cand = banded.groupby(["band_id", "band_val"]).map_groups(
+        pairs, batch_format="pandas")
+    return cand.groupby(["doc_id_a", "doc_id_b"]).aggregate(Count(alias_name="n_bands"))
+
+
+def doc_minhash_near_dups(sf_dir: str, jaccard_threshold: float = 0.5,
+                          shingle_k: int = 3) -> pd.DataFrame:
+    """Candidates → exact-Jaccard verification → pairs ≥ threshold.
+
+    Verification re-reads only the candidate docs (filter-pushdown read);
+    at 10^12 scale this stays proportional to the candidate set, which
+    LSH keeps tiny."""
+    docs = table(sf_dir, "documents", columns=["doc_id", "text"])
+    cand = doc_minhash_candidates(docs, shingle_k=shingle_k).to_pandas()
+    if cand.empty:
+        return pd.DataFrame({"doc_id_a": pd.Series([], dtype="int64"),
+                             "doc_id_b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from tag_ray.sources import table_path
+    need = np.unique(np.r_[cand.doc_id_a.to_numpy(), cand.doc_id_b.to_numpy()])
+    tbl = pq.read_table(table_path(sf_dir, "documents"), columns=["doc_id", "text"],
+                        filters=[("doc_id", "in", need.tolist())])
+    mh = MinHasher(shingle_k=shingle_k)
+    sets = {int(i): set(mh.shingles(t).tolist())
+            for i, t in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())}
+    out = []
+    for r in cand.itertuples():
+        sa, sb = sets[int(r.doc_id_a)], sets[int(r.doc_id_b)]
+        u = len(sa | sb)
+        j = len(sa & sb) / u if u else 0.0
+        if round(j, 4) >= jaccard_threshold:
+            out.append((int(r.doc_id_a), int(r.doc_id_b), round(j, 4)))
+    return pd.DataFrame(out, columns=["doc_id_a", "doc_id_b", "jaccard"]) \
+        .astype({"doc_id_a": "int64", "doc_id_b": "int64"})
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup — reuses the banded-64-bit engine built for phash
+
+
+def simhash64(tokens: list[str]) -> int:
+    """Charikar simhash over token hashes (unweighted)."""
+    if not tokens:
+        return 0
+    h = hash_strings64(tokens)
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
+    score = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+    word = (np.uint64(1) << np.arange(64, dtype=np.uint64))[score > 0].sum(dtype=np.uint64)
+    return int(word.astype(np.int64))
+
+
+def doc_simhash(sf_dir: str) -> rd.Dataset:
+    docs = table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        sh = [simhash64(t.strip().split()) for t in b["text"].to_pylist()]
+        return pa.Table.from_pydict(
+            {"doc_id": b["doc_id"], "simhash": pa.array(sh, pa.int64())})
+
+    return docs.map_batches(derive, batch_format="pyarrow")
+
+
+def doc_simhash_near_dups(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
+    """Banded simhash near-dup: identical machinery to phash near-dup
+    (pipelines/validate.py) — 4×16-bit bands give full recall for
+    Hamming ≤ 3 by pigeonhole."""
+    sh = doc_simhash(sf_dir)
+
+    def explode(b: pa.Table) -> pa.Table:
+        hs = b["simhash"].to_numpy(zero_copy_only=False)
+        bands = phash_bands(hs, 4)
+        pieces = [pa.Table.from_pydict({
+            "band_id": pa.array(np.full(len(hs), i, np.int32)),
+            "band_val": pa.array(bands[:, i]),
+            "doc_id": b["doc_id"],
+            "simhash": b["simhash"],
+        }) for i in range(4)]
+        return pa.concat_tables(pieces)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id")
+        n = len(g)
+        if n < 2 or n > 10_000:
+            return pd.DataFrame({"doc_id_a": [], "doc_id_b": [], "hamming": []})
+        ids = g["doc_id"].to_numpy()
+        hs = g["simhash"].to_numpy(dtype=np.int64)
+        rows = []
+        for i in range(n - 1):
+            d = hamming64(np.repeat(hs[i], n - i - 1), hs[i + 1 :])
+            for j in np.flatnonzero(d <= max_hamming):
+                a, b_ = ids[i], ids[i + 1 + j]
+                rows.append((min(a, b_), max(a, b_), int(d[j])))
+        return pd.DataFrame(rows, columns=["doc_id_a", "doc_id_b", "hamming"])
+
+    cand = (sh.map_batches(explode, batch_format="pyarrow")
+            .groupby(["band_id", "band_val"]).map_groups(pairs, batch_format="pandas"))
+    uniq = cand.groupby(["doc_id_a", "doc_id_b"]).aggregate(
+        Min("hamming", alias_name="hamming"))
+    from tag_ray.pipelines._util import small_result
+    return small_result(
+        uniq, {"doc_id_a": "int64", "doc_id_b": "int64", "hamming": "int64"})
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup: brute force (oracle) + hyperplane LSH (scale)
+
+
+def emb_near_pairs(sf_dir: str, threshold: float = 0.45) -> pd.DataFrame:
+    """All pairs with rounded cosine ≥ threshold — brute force per batch
+    against a broadcast matrix (fine to ~10^5 rows; LSH variant below is
+    the 10^12 path). Oracle: exact SQL cross join."""
+    import ray
+    import pyarrow.parquet as pq
+    from tag_ray.pipelines.embeddings import _emb_matrix
+    from tag_ray.sources import table_path
+    full = pq.read_table(table_path(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    all_m = _emb_matrix(full)
+    all_norm = np.sqrt((all_m * all_m).sum(axis=1))
+    all_m = all_m / np.where(all_norm == 0, 1.0, all_norm)[:, None]
+    all_ids = full["vec_id"].to_numpy()
+    handle = ray.put((all_ids, all_m))
+
+    emb = table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    class PairFinder:
+        def __init__(self, h, thr):
+            self.ids, self.m = ray.get(h)
+            self.thr = thr
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            m = _emb_matrix(b)
+            norms = np.sqrt((m * m).sum(axis=1))
+            m = m / np.where(norms == 0, 1.0, norms)[:, None]
+            ids = b["vec_id"].to_numpy(zero_copy_only=False)
+            cos = np.round(m @ self.m.T, 4)
+            ii, jj = np.nonzero(cos >= self.thr)
+            keep = ids[ii] < self.ids[jj]  # each unordered pair exactly once
+            return pa.Table.from_pydict({
+                "vec_id_a": pa.array(ids[ii][keep]),
+                "vec_id_b": pa.array(self.ids[jj][keep]),
+                "cos": pa.array(cos[ii, jj][keep]),
+            })
+
+    from tag_ray.pipelines._util import small_result
+    return small_result(
+        emb.map_batches(PairFinder,
+                        fn_constructor_kwargs={"h": handle, "thr": threshold},
+                        batch_format="pyarrow", concurrency=(1, 4)),
+        {"vec_id_a": "int64", "vec_id_b": "int64", "cos": "float64"})
+
+
+def emb_near_pairs_sql(threshold: float = 0.45) -> str:
+    return f"""
+WITH n AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS cos
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= {threshold}
+"""
+
+
+def emb_lsh_buckets(sf_dir: str, n_planes: int = 16, seed: int = 9) -> rd.Dataset:
+    """Hyperplane-LSH bucketing (scale path for ANN / near-dup): sign
+    pattern of projections onto ``n_planes`` random hyperplanes → bucket
+    id; near vectors collide with high probability. Candidate
+    verification then runs per bucket exactly like phash/simhash."""
+    import ray
+    rng = np.random.default_rng(seed)
+    emb = table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    planes_handle = ray.put(rng.normal(size=(64, n_planes)))
+
+    class Bucketize:
+        def __init__(self, h):
+            self.planes = ray.get(h)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            from tag_ray.pipelines.embeddings import _emb_matrix
+            m = _emb_matrix(b)
+            bits = (m @ self.planes) > 0
+            bucket = (bits.astype(np.uint64)
+                      * (np.uint64(1) << np.arange(bits.shape[1], dtype=np.uint64))
+                      ).sum(axis=1).astype(np.int64)
+            return pa.Table.from_pydict(
+                {"vec_id": b["vec_id"], "bucket": pa.array(bucket)})
+
+    return emb.map_batches(Bucketize, fn_constructor_kwargs={"h": planes_handle},
+                           batch_format="pyarrow", concurrency=(1, 4))

@@ -1,0 +1,460 @@
+"""Relational validation queries over the TPC-H-ish tables.
+
+These exercise the engine's generic operator surface — scan / filter /
+project / aggregate / hash join / broadcast join / sort / limit /
+windowing — each with an exact DuckDB oracle (__ray_entry__.oracle_sql).
+
+Precision discipline for oracle parity: per-row arithmetic on float64 is
+bit-identical between engines, but SUMS of floats depend on addition
+order. Money aggregates therefore go through integer cents
+(rint(x*100) per row → int64 sum → /100.0), making every reported sum
+exact; averages of small-magnitude values are rounded to 4 decimals.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from tag_ray.sources import table
+
+_US_PER_HOUR = 3_600_000_000
+SESSION_GAP_US = 1_800_000_000  # 30 min
+
+
+def _cents(x: np.ndarray) -> np.ndarray:
+    return np.rint(x * 100.0).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Q1-style pricing summary: scan → vectorized derive → groupby aggregate
+
+
+def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
+    li = table(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice", "l_discount", "l_tax", "l_shipdate"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less_equal(b["l_shipdate"],
+                                   pa.scalar(pd.Timestamp("1998-09-02"))))
+        price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        tax = b["l_tax"].to_numpy(zero_copy_only=False)
+        qty = b["l_quantity"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            "qty_c": pa.array(_cents(qty)),
+            "price_c": pa.array(_cents(price)),
+            "disc_price_c": pa.array(_cents(price * (1.0 - disc))),
+            "charge_c": pa.array(_cents(price * (1.0 - disc) * (1.0 + tax))),
+            "disc": pa.array(disc),
+        })
+
+    agg = (li.map_batches(derive, batch_format="pyarrow")
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("qty_c", alias_name="sum_qty_c"),
+                      Sum("price_c", alias_name="sum_price_c"),
+                      Sum("disc_price_c", alias_name="sum_disc_price_c"),
+                      Sum("charge_c", alias_name="sum_charge_c"),
+                      Mean("disc", alias_name="avg_disc_raw"),
+                      Count(alias_name="count_order")))
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n = b["count_order"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.Table.from_pydict({
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            "sum_qty": pa.array(b["sum_qty_c"].to_numpy(zero_copy_only=False) / 100.0),
+            "sum_base_price": pa.array(b["sum_price_c"].to_numpy(zero_copy_only=False) / 100.0),
+            "sum_disc_price": pa.array(b["sum_disc_price_c"].to_numpy(zero_copy_only=False) / 100.0),
+            "sum_charge": pa.array(b["sum_charge_c"].to_numpy(zero_copy_only=False) / 100.0),
+            "avg_qty": pa.array(np.round(
+                b["sum_qty_c"].to_numpy(zero_copy_only=False) / 100.0 / n, 4)),
+            "avg_price": pa.array(np.round(
+                b["sum_price_c"].to_numpy(zero_copy_only=False) / 100.0 / n, 4)),
+            "avg_disc": pa.array(np.round(
+                b["avg_disc_raw"].to_numpy(zero_copy_only=False), 4)),
+            "count_order": b["count_order"],
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(round(l_quantity*100) AS BIGINT))/100.0 AS sum_qty,
+       SUM(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS sum_base_price,
+       SUM(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))/100.0 AS sum_disc_price,
+       SUM(CAST(round(l_extendedprice*(1-l_discount)*(1+l_tax)*100) AS BIGINT))/100.0 AS sum_charge,
+       ROUND(SUM(CAST(round(l_quantity*100) AS BIGINT))/100.0/COUNT(*), 4) AS avg_qty,
+       ROUND(SUM(CAST(round(l_extendedprice*100) AS BIGINT))/100.0/COUNT(*), 4) AS avg_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# top-k revenue orders: aggregate → hash join (Dataset.join) → sort/limit
+
+
+def q3_revenue_topk(sf_dir: str) -> pd.DataFrame:
+    li = table(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "l_orderkey": b["l_orderkey"],
+            "rev_c": pa.array(_cents(price * (1.0 - disc))),
+        })
+
+    rev = (li.map_batches(derive, batch_format="pyarrow")
+           .groupby("l_orderkey").aggregate(Sum("rev_c", alias_name="rev_c")))
+    orders = table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    joined = rev.join(orders, "inner", num_partitions=8,
+                      on=("l_orderkey",), right_on=("o_orderkey",))
+    top = joined.sort(["rev_c", "l_orderkey"], descending=[True, False]).limit(10)
+    df = top.to_pandas()
+    return pd.DataFrame({
+        "l_orderkey": df["l_orderkey"].astype("int64"),
+        "revenue": df["rev_c"] / 100.0,
+        "o_orderdate_us": df["o_orderdate"].astype("int64"),
+    })
+
+
+Q3_SQL = """
+SELECT l_orderkey,
+       SUM(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))/100.0 AS revenue,
+       epoch_us(ANY_VALUE(o_orderdate)) AS o_orderdate_us
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# revenue by customer region: broadcast dimension chain + hash join on fact
+
+
+def q5_region_revenue(sf_dir: str) -> rd.Dataset:
+    import pyarrow.parquet as pq
+
+    # small dimension chain joined driver-side, broadcast once (J1 pattern)
+    from tag_ray.sources import table_path
+    cust = pq.read_table(table_path(sf_dir, "customer"),
+                         columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(table_path(sf_dir, "nation"))
+    region = pq.read_table(table_path(sf_dir, "region"))
+    dim = (cust.to_pandas()
+           .merge(nation.to_pandas(), left_on="c_nationkey", right_on="n_nationkey")
+           .merge(region.to_pandas(), left_on="n_regionkey", right_on="r_regionkey"))
+    cust_region = dict(zip(dim["c_custkey"], dim["r_name"]))
+    handle = ray.put(cust_region)
+
+    orders = table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    class AttachRegion:
+        def __init__(self, h):
+            self.lookup = ray.get(h)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            keys = b["o_custkey"].to_numpy(zero_copy_only=False)
+            names = [self.lookup.get(int(k)) for k in keys]
+            return pa.Table.from_pydict(
+                {"o_orderkey": b["o_orderkey"], "r_name": pa.array(names, pa.string())})
+
+    orders_r = orders.map_batches(AttachRegion, fn_constructor_kwargs={"h": handle},
+                                  batch_format="pyarrow", concurrency=(1, 4))
+    li = table(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "l_orderkey": b["l_orderkey"],
+            "rev_c": pa.array(_cents(price * (1.0 - disc))),
+        })
+
+    fact = li.map_batches(derive, batch_format="pyarrow")
+    joined = fact.join(orders_r, "inner", num_partitions=8,
+                       on=("l_orderkey",), right_on=("o_orderkey",))
+    agg = joined.groupby("r_name").aggregate(
+        Sum("rev_c", alias_name="rev_c"), Count(alias_name="n_items"))
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "r_name": b["r_name"],
+            "revenue": pa.array(b["rev_c"].to_numpy(zero_copy_only=False) / 100.0),
+            "n_items": b["n_items"],
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+Q5_SQL = """
+SELECT r_name,
+       SUM(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))/100.0 AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# simple grouped count + top customers (broadcast name join)
+
+
+def orders_priority_count(sf_dir: str) -> rd.Dataset:
+    return (table(sf_dir, "orders", columns=["o_orderpriority"])
+            .groupby("o_orderpriority").aggregate(Count(alias_name="n")))
+
+
+PRIORITY_SQL = "SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY o_orderpriority"
+
+
+def top_customers(sf_dir: str) -> pd.DataFrame:
+    orders = table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "o_custkey": b["o_custkey"],
+            "tp_c": pa.array(_cents(b["o_totalprice"].to_numpy(zero_copy_only=False))),
+        })
+
+    spend = (orders.map_batches(derive, batch_format="pyarrow")
+             .groupby("o_custkey")
+             .aggregate(Sum("tp_c", alias_name="tp_c"), Count(alias_name="n_orders")))
+    top = spend.sort(["tp_c", "o_custkey"], descending=[True, False]).limit(10).to_pandas()
+    import pyarrow.parquet as pq
+    from tag_ray.sources import table_path
+    names = pq.read_table(table_path(sf_dir, "customer"),
+                          columns=["c_custkey", "c_name"]).to_pandas()
+    out = top.merge(names, left_on="o_custkey", right_on="c_custkey")
+    return pd.DataFrame({"c_name": out["c_name"],
+                         "total_spend": out["tp_c"] / 100.0,
+                         "n_orders": out["n_orders"].astype("int64")})
+
+
+TOP_CUSTOMERS_SQL = """
+SELECT c_name,
+       SUM(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS total_spend,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_name
+ORDER BY total_spend DESC, ANY_VALUE(o_custkey) LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# constraint-check queries (the validation-engine primitives on SQL tables)
+
+
+def ref_orphan_orders(sf_dir: str) -> rd.Dataset:
+    """Anti-join: orders whose customer id is missing (broadcast key set —
+    the engine's referential check, SURVEY.md §2.4 J1)."""
+    import pyarrow.parquet as pq
+    from tag_ray.sources import table_path
+    keys = set(pq.read_table(table_path(sf_dir, "customer"),
+                             columns=["c_custkey"])["c_custkey"].to_pylist())
+    handle = ray.put(keys)
+    orders = table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    class AntiJoin:
+        def __init__(self, h):
+            self.keys = ray.get(h)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+            mask = np.array([int(k) not in self.keys for k in ck], dtype=bool)
+            return b.filter(pa.array(mask))
+
+    from tag_ray.pipelines._util import small_result
+    return small_result(
+        orders.map_batches(AntiJoin, fn_constructor_kwargs={"h": handle},
+                           batch_format="pyarrow", concurrency=(1, 4)),
+        {"o_orderkey": "int64", "o_custkey": "int64"})
+
+
+REF_ORPHAN_SQL = """
+SELECT o_orderkey, o_custkey FROM orders
+WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+"""
+
+
+def uniqueness_orderkey(sf_dir: str) -> rd.Dataset:
+    counts = (table(sf_dir, "orders", columns=["o_orderkey"])
+              .groupby("o_orderkey").aggregate(Count(alias_name="n")))
+    from tag_ray.pipelines._util import small_result
+    return small_result(
+        counts.map_batches(lambda b: b.filter(pc.greater(b["n"], 1)),
+                           batch_format="pyarrow"),
+        {"o_orderkey": "int64", "n": "int64"})
+
+
+UNIQUENESS_SQL = """
+SELECT o_orderkey, COUNT(*) AS n FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1
+"""
+
+
+def range_check_part(sf_dir: str) -> rd.Dataset:
+    p = table(sf_dir, "part", columns=["p_partkey", "p_size"])
+    from tag_ray.pipelines._util import small_result
+    return small_result(
+        p.map_batches(
+            lambda b: b.filter(pc.or_(pc.less(b["p_size"], 1),
+                                      pc.greater(b["p_size"], 50))),
+            batch_format="pyarrow"),
+        {"p_partkey": "int64", "p_size": "int32"})
+
+
+RANGE_SQL = "SELECT p_partkey, p_size FROM part WHERE p_size < 1 OR p_size > 50"
+
+
+def set_check_orders(sf_dir: str) -> rd.Dataset:
+    o = table(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
+    valid = pa.array(["O", "F", "P"])
+    from tag_ray.pipelines._util import small_result
+    return small_result(
+        o.map_batches(
+            lambda b: b.filter(pc.invert(pc.is_in(b["o_orderstatus"], value_set=valid))),
+            batch_format="pyarrow"),
+        {"o_orderkey": "int64", "o_orderstatus": "object"})
+
+
+SET_SQL = "SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus NOT IN ('O','F','P')"
+
+
+# ---------------------------------------------------------------------------
+# stream-shaped: tumbling window + sessionization over the events log
+
+
+def events_hourly(sf_dir: str) -> rd.Dataset:
+    ev = table(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "event_type": b["event_type"],
+            "hour": pa.array(us // _US_PER_HOUR),
+            "value": b["value"],
+        })
+
+    agg = (ev.map_batches(derive, batch_format="pyarrow")
+           .groupby(["event_type", "hour"])
+           .aggregate(Count(alias_name="n"), Mean("value", alias_name="avg_value_raw")))
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "event_type": b["event_type"], "hour": b["hour"], "n": b["n"],
+            "avg_value": pa.array(np.round(
+                b["avg_value_raw"].to_numpy(zero_copy_only=False), 4)),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+EVENTS_HOURLY_SQL = """
+SELECT event_type,
+       CAST(floor(epoch_us(ts)/3600000000.0) AS BIGINT) AS hour,
+       COUNT(*) AS n,
+       ROUND(AVG(value), 4) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def events_sessions(sf_dir: str) -> rd.Dataset:
+    """Sessionization (30-min gap) — a windowed stateful operator Ray Data
+    lacks natively: groupby(user) → in-group ordered pandas windowing
+    (ray_guide 'Streaming-shaped workloads'). Ordering assumption: rows
+    within one user fit one group and are sorted by (ts, event_id)."""
+    ev = table(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "user_id": b["user_id"], "event_id": b["event_id"],
+            "us": pa.array(b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)),
+        })
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["us", "event_id"])
+        new = (g["us"].diff().fillna(SESSION_GAP_US + 1) > SESSION_GAP_US)
+        sid = new.cumsum()
+        out = g.groupby(sid).agg(
+            user_id=("user_id", "first"), session_start=("us", "min"),
+            n_events=("us", "size"))
+        out["n_events"] = out["n_events"].astype("int64")
+        return out.reset_index(drop=True)
+
+    return (ev.map_batches(derive, batch_format="pyarrow")
+            .groupby("user_id").map_groups(sessionize, batch_format="pandas"))
+
+
+EVENTS_SESSIONS_SQL = """
+WITH t AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+              OR LAG(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+), s AS (
+  SELECT user_id, us,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM t
+)
+SELECT user_id, MIN(us) AS session_start, COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
+# ---------------------------------------------------------------------------
+# global single-row stats (Welford path cross-checked by SQL aggregates)
+
+
+def stats_lineitem_global(sf_dir: str) -> pd.DataFrame:
+    li = table(sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice"])
+    from ray.data.aggregate import Std
+    res = li.aggregate(
+        Count(alias_name="n"),
+        Mean("l_quantity", alias_name="avg_qty"),
+        Min("l_quantity", alias_name="min_qty"),
+        Max("l_quantity", alias_name="max_qty"),
+        Std("l_quantity", ddof=0, alias_name="std_qty"),
+        Mean("l_extendedprice", alias_name="avg_price"),
+    )
+    return pd.DataFrame([{
+        "n": int(res["n"]),
+        "avg_qty": round(res["avg_qty"], 4),
+        "min_qty": res["min_qty"],
+        "max_qty": res["max_qty"],
+        "std_qty": round(res["std_qty"], 4),
+        "avg_price": round(res["avg_price"], 4),
+    }])
+
+
+STATS_LINEITEM_SQL = """
+SELECT COUNT(*) AS n,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       MIN(l_quantity) AS min_qty,
+       MAX(l_quantity) AS max_qty,
+       ROUND(STDDEV_POP(l_quantity), 4) AS std_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price
+FROM lineitem
+"""

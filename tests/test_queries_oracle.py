@@ -1,0 +1,101 @@
+"""Replicates the driver's correctness gate locally: every queries()
+entry with an oracle_sql() entry runs both ways at sf0.001 and must
+match on row count, column names, and order-insensitive values."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ("region nation customer supplier part orders lineitem "
+          "events documents embeddings").split()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1).copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            continue
+        if np.issubdtype(df[c].dtype, np.floating):
+            df[c] = df[c].round(4)
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _to_pandas(res) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data as rd
+
+    if isinstance(res, rd.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def _compare(name, ray_df, sql_df):
+    a, b = _normalize(ray_df), _normalize(sql_df)
+    assert list(a.columns) == list(b.columns), \
+        f"{name}: columns {list(a.columns)} != {list(b.columns)}"
+    assert len(a) == len(b), f"{name}: rows {len(a)} != {len(b)}"
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if np.issubdtype(a[c].dtype, np.floating) or np.issubdtype(b[c].dtype, np.floating):
+            ok = np.allclose(av.astype(float), bv.astype(float), atol=1e-9, equal_nan=True)
+        else:
+            ok = (av == bv).all() if len(av) else True
+        assert ok, f"{name}: column {c} values differ\n{a[c].head()}\n{b[c].head()}"
+
+
+def _oracle_pairs():
+    import __ray_entry__ as entrymod
+
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    assert set(o) <= set(q), "oracle_sql keys must be a subset of queries"
+    return sorted(o)
+
+
+@pytest.mark.parametrize("name", _oracle_pairs())
+def test_query_matches_oracle(ray_session, con, name):
+    import __ray_entry__ as entrymod
+
+    ray_df = _to_pandas(entrymod.queries()[name](SF_DIR))
+    sql_df = con.execute(entrymod.oracle_sql()[name]).fetchdf()
+    _compare(name, ray_df, sql_df)
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as entrymod
+
+    res = entrymod.entry()
+    df = _to_pandas(res)
+    assert len(df) >= 0
+    assert set(df.columns) == {"image_id", "partition_id", "check", "detail"}
+
+
+def test_rows_only_queries_run(ray_session):
+    """Queries without oracles must still execute and return a result."""
+    import __ray_entry__ as entrymod
+
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    for name in sorted(set(q) - set(o)):
+        if name.startswith("img_"):
+            continue  # exercised by the golden-matrix e2e suite (costly here)
+        df = _to_pandas(q[name](SF_DIR))
+        assert df is not None, name
