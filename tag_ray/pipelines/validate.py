@@ -31,10 +31,19 @@ from tag_ray.config import DEFAULT_CONFIG, EngineConfig
 from tag_ray.schema import VIOLATION_SCHEMA, Check
 
 
-def read_images(path: str, columns: list[str] | None = None) -> rd.Dataset:
+def read_images(path: str, columns: list[str] | None = None,
+                partitions: list[int] | None = None) -> rd.Dataset:
     """Parquet in-sandbox; the prod path is ``ray.data.read_lance`` behind
-    the same call (SURVEY.md §2.1 S1 — no lance wheel offline)."""
-    return rd.read_parquet(path, columns=columns)
+    the same call (SURVEY.md §2.1 S1 — no lance wheel offline).
+
+    ``partitions`` prunes at the read via predicate pushdown — the
+    resume path (tag_ray.job) never re-scans completed partitions."""
+    import pyarrow.compute as pc
+
+    filt = None
+    if partitions is not None:
+        filt = pc.field("partition_id").isin(pa.array(partitions, pa.int32()))
+    return rd.read_parquet(path, columns=columns, filter=filt)
 
 
 def load_ref_table(path: str) -> pa.Table:
@@ -173,18 +182,25 @@ def near_dup_violations(images: rd.Dataset,
 
 
 def validate(images_path: str, ref_path: str | None = None,
-             cfg: EngineConfig = DEFAULT_CONFIG) -> rd.Dataset:
+             cfg: EngineConfig = DEFAULT_CONFIG,
+             partitions: list[int] | None = None) -> rd.Dataset:
     """Full sweep → one violations Dataset (union of all check families).
 
     Each branch gets its own column-pruned read: the MB-scale ``bytes``
     column is read exactly once (row suite) and never enters a shuffle;
-    the groupby branches read only their 2-3 key columns."""
+    the groupby branches read only their 2-3 key columns.
+
+    ``partitions`` restricts the sweep (resume path). NOTE: dup/near-dup
+    checks then only see those partitions — cross-shard duplicates are
+    caught by the job's final full-table pass over pruned key columns."""
     ref = load_ref_table(ref_path) if ref_path else None
-    v_rows = row_violations(read_images(images_path), cfg, ref)
+    v_rows = row_violations(read_images(images_path, partitions=partitions), cfg, ref)
     v_dup = dup_violations(
-        read_images(images_path, columns=["image_id", "partition_id"]))
+        read_images(images_path, columns=["image_id", "partition_id"],
+                    partitions=partitions))
     v_near = near_dup_violations(
-        read_images(images_path, columns=["image_id", "phash", "partition_id"]), cfg)
+        read_images(images_path, columns=["image_id", "phash", "partition_id"],
+                    partitions=partitions), cfg)
     return v_rows.union(v_dup).union(v_near)
 
 
