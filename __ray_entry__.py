@@ -91,9 +91,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_word_topk": T.doc_word_topk,
         "doc_lang_quality": T.doc_lang_quality,
         "doc_langid": T.doc_langid_heuristic,
+        "doc_sample_hash": T.doc_sample_hash,
         # --- dedup family ---
         "doc_exact_dup_groups": D.doc_exact_dup_groups,
         "doc_minhash_near_dups": D.doc_minhash_near_dups,
+        "doc_ngram_jaccard_near_dups": D.doc_ngram_jaccard_near_dups,
         "doc_simhash_near_dups": D.doc_simhash_near_dups,
         "emb_near_pairs": D.emb_near_pairs,
         "emb_lsh_buckets": D.emb_lsh_buckets,
@@ -101,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_norms": E.emb_norms,
         "emb_label_stats": E.emb_label_stats,
         "emb_cosine_topk": E.emb_cosine_topk,
+        "emb_ivf_topk": E.emb_ivf_topk,
     }
 
 
@@ -128,7 +131,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": T.FINGERPRINT_SQL,
         "doc_word_topk": T.WORD_TOPK_SQL,
         "doc_lang_quality": T.LANG_QUALITY_SQL,
+        "doc_sample_hash": T.SAMPLE_HASH_SQL,
         "doc_exact_dup_groups": D.EXACT_DUP_SQL,
+        "doc_ngram_jaccard_near_dups": D.ngram_jaccard_sql(),
         "emb_near_pairs": D.emb_near_pairs_sql(),
         "emb_norms": E.NORMS_SQL,
         "emb_label_stats": E.LABEL_STATS_SQL,

@@ -228,7 +228,7 @@ def generate(out_dir: str, n_rows: int = 1000, n_partitions: int = 4,
         drift_partition = n_partitions - 1
     manifest_path = os.path.join(out_dir, "manifest.json")
     params = {"n_rows": n_rows, "n_partitions": n_partitions, "seed": seed,
-              "drift_partition": drift_partition, "version": 3}
+              "drift_partition": drift_partition, "version": 4}
     if not force and os.path.exists(manifest_path):
         with open(manifest_path) as f:
             if json.load(f) == params:
@@ -328,5 +328,5 @@ def generate(out_dir: str, n_rows: int = 1000, n_partitions: int = 4,
 def cached_corpus(n_rows: int, n_partitions: int, seed: int = 42,
                   root: str = "/tmp/tag_ray_fixtures") -> str:
     """Generate-once cache keyed by params; safe to call from tests/bench."""
-    out = os.path.join(root, f"n{n_rows}_p{n_partitions}_s{seed}_v3")
+    out = os.path.join(root, f"n{n_rows}_p{n_partitions}_s{seed}_v4")
     return generate(out, n_rows=n_rows, n_partitions=n_partitions, seed=seed)

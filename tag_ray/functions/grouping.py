@@ -1,0 +1,92 @@
+"""Coarse-bucket grouping: groupby-per-fine-key without per-key overhead.
+
+``Dataset.groupby(fine_key).map_groups(fn)`` pays one Python call (and
+one pandas frame build) per distinct key — ruinous when keys are LSH
+buckets (mostly singleton, tens of thousands per block). Instead:
+
+  1. add ``_coarse = mix64(fine_key...) % num_buckets`` (vectorized)
+  2. shuffle on the COARSE key only (num_buckets ≈ 16×cluster CPUs —
+     enough parallelism, bounded task count; raise it with the cluster)
+  3. inside each coarse group, sort + run-detect the fine keys with
+     numpy and call ``fn`` only on runs of size ≥ min_size
+
+Every fine group lands entirely inside one coarse group (same hash), so
+results are identical to the per-fine-key groupby; singleton buckets —
+the vast majority — are skipped without any Python-level work.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from tag_ray.functions.sketches import _mix64
+
+COARSE_COL = "_coarse"
+
+
+def default_num_buckets(factor: int = 16) -> int:
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return max(factor * cpus, 64)
+
+
+def _combined_key(tbl: pa.Table, key_cols: list[str]) -> np.ndarray:
+    h = np.zeros(tbl.num_rows, dtype=np.uint64)
+    for c in key_cols:
+        v = tbl[c].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            h = _mix64(h * np.uint64(0x9E3779B97F4A7C15)
+                       ^ v.astype(np.int64).view(np.uint64))
+    return h
+
+
+def coarse_grouped_apply(
+    ds: rd.Dataset,
+    key_cols: list[str],
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    min_size: int = 2,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Apply ``fn`` to every fine group (distinct ``key_cols`` tuple) of
+    size ≥ ``min_size``; returns the concatenated results as a Dataset.
+
+    ``fn`` receives the group WITHOUT the coarse column and must return
+    a pandas DataFrame (possibly empty) with a fixed schema."""
+    buckets = num_buckets or default_num_buckets()
+
+    def add_coarse(tbl: pa.Table) -> pa.Table:
+        h = _combined_key(tbl, key_cols)
+        return tbl.append_column(
+            COARSE_COL, pa.array((h % np.uint64(buckets)).astype(np.int32)))
+
+    def per_coarse(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=[COARSE_COL])
+        order = np.lexsort([g[c].to_numpy() for c in reversed(key_cols)])
+        gs = g.iloc[order]
+        keys = [gs[c].to_numpy() for c in key_cols]
+        n = len(gs)
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        for kv in keys:
+            change[1:] |= kv[1:] != kv[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.r_[starts[1:], n]
+        outs = []
+        for s, e in zip(starts, ends):
+            if e - s >= min_size:
+                r = fn(gs.iloc[s:e])
+                if len(r):
+                    outs.append(r)
+        if not outs:
+            return fn(gs.iloc[0:0])  # empty frame with the right schema
+        return pd.concat(outs, ignore_index=True)
+
+    return ds.map_batches(add_coarse, batch_format="pyarrow") \
+        .groupby(COARSE_COL).map_groups(per_coarse, batch_format="pandas")

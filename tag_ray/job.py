@@ -40,7 +40,7 @@ import pyarrow as pa
 import ray.data as rd
 from ray.data.aggregate import Count
 
-from tag_ray.config import DEFAULT_CONFIG, EngineConfig
+from tag_ray.config import DEFAULT_CONFIG, EngineConfig, scale_concurrency
 from tag_ray.pipelines import validate as V
 from tag_ray.stages.stats import column_stats
 from tag_ray.state import LineageRecord, LineageStore
@@ -58,7 +58,8 @@ def list_partitions(images_path: str) -> list[int]:
     On a real Lance/Hive-partitioned table this comes from table
     metadata without a scan; the sandbox parquet corpus is small enough
     that a single-column scan is the honest stand-in."""
-    ds = V.read_images(images_path, columns=["partition_id"])
+    ds = V.read_images(images_path, columns=["partition_id"],
+                       num_blocks=V.keycol_num_blocks())
     out = ds.groupby("partition_id").aggregate(Count(alias_name="n")).to_pandas()
     return sorted(int(p) for p in out["partition_id"])
 
@@ -79,7 +80,7 @@ def run_shard(images_path: str, ref_path: str | None, out_dir: str,
         V.read_images(images_path, columns=SKETCH_COLUMNS + ["partition_id"],
                       partitions=partitions),
         SKETCH_COLUMNS, key_column="partition_id",
-        batch_size=cfg.stats_batch_size, concurrency=cfg.stats_concurrency)
+        batch_size=cfg.stats_batch_size, concurrency=scale_concurrency(cfg.stats_concurrency))
     sk_dir = os.path.join(out_dir, "sketches", f"shard={shard_idx}")
     sk.write_parquet(sk_dir)
 
@@ -102,10 +103,13 @@ def run_shard(images_path: str, ref_path: str | None, out_dir: str,
 
 def run_global_checks(images_path: str, out_dir: str, cfg: EngineConfig) -> int:
     """Cross-partition dup + near-dup over pruned key columns only."""
+    nb = V.keycol_num_blocks()
     v_dup = V.dup_violations(
-        V.read_images(images_path, columns=["image_id", "partition_id"]))
+        V.read_images(images_path, columns=["image_id", "partition_id"],
+                      num_blocks=nb))
     v_near = V.near_dup_violations(
-        V.read_images(images_path, columns=["image_id", "phash", "partition_id"]),
+        V.read_images(images_path, columns=["image_id", "phash", "partition_id"],
+                      num_blocks=nb),
         cfg)
     both = v_dup.union(v_near).materialize()
     both.write_parquet(os.path.join(out_dir, "violations", "global"))

@@ -25,6 +25,7 @@ from ray.data.aggregate import Count, Min, Sum
 
 from tag_ray.codecs.phash import hamming64, phash_bands
 from tag_ray.functions.hashing import hash_strings64
+from tag_ray.config import scale_concurrency
 from tag_ray.sources import table
 
 # ---------------------------------------------------------------------------
@@ -138,7 +139,7 @@ def doc_minhash_candidates(docs: rd.Dataset, num_perm: int = 128,
     banded = docs.map_batches(
         Signatures,
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "k": shingle_k},
-        batch_format="pyarrow", concurrency=(1, 4))
+        batch_format="pyarrow", concurrency=scale_concurrency(None))
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.unique(g["doc_id"].to_numpy())
@@ -147,8 +148,9 @@ def doc_minhash_candidates(docs: rd.Dataset, num_perm: int = 128,
         a, b = np.triu_indices(ids.size, k=1)
         return pd.DataFrame({"doc_id_a": ids[a], "doc_id_b": ids[b]})
 
-    cand = banded.groupby(["band_id", "band_val"]).map_groups(
-        pairs, batch_format="pandas")
+    from tag_ray.functions.grouping import coarse_grouped_apply
+
+    cand = coarse_grouped_apply(banded, ["band_id", "band_val"], pairs)
     return cand.groupby(["doc_id_a", "doc_id_b"]).aggregate(Count(alias_name="n_bands"))
 
 
@@ -183,6 +185,141 @@ def doc_minhash_near_dups(sf_dir: str, jaccard_threshold: float = 0.5,
             out.append((int(r.doc_id_a), int(r.doc_id_b), round(j, 4)))
     return pd.DataFrame(out, columns=["doc_id_a", "doc_id_b", "jaccard"]) \
         .astype({"doc_id_a": "int64", "doc_id_b": "int64"})
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard near-dup — prefix-filtered set-similarity self-join
+#
+# Unlike MinHash-LSH (approximate recall), this is EXACT for the given
+# threshold: prefix filtering (PPJoin family) guarantees every pair with
+# J >= t shares at least one n-gram in the other's prefix under ANY fixed
+# global token order (we order by shingle hash; production would order by
+# ascending document frequency to shrink posting lists further). Shuffle
+# carries only (gram_hash, doc_id, set_size) prefix rows.
+
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Distinct word-k-shingle hashes, sorted (the global prefix order)."""
+    toks = text.strip().split()
+    if len(toks) < k:
+        grams = [" ".join(toks)] if toks else []
+    else:
+        grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    if not grams:
+        return np.empty(0, np.uint64)
+    return np.sort(np.unique(hash_strings64(grams)))
+
+
+def doc_ngram_jaccard_near_dups(sf_dir: str, threshold: float = 0.5,
+                                shingle_k: int = 3) -> pd.DataFrame:
+    """All pairs with word-``shingle_k``-gram Jaccard >= ``threshold``.
+
+    prefix explode (map_batches) → groupby(gram) posting lists →
+    candidate pairs with size filter → pair-distinct groupby → exact
+    verification against the re-read candidate docs. Exact ⇒ carries a
+    full SQL oracle (NGRAM_JACCARD_SQL)."""
+    import math
+
+    docs = table(sf_dir, "documents", columns=["doc_id", "text"])
+    t = threshold
+
+    def prefix_rows(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        grams_out, ids_out, m_out = [], [], []
+        for i, text in enumerate(b["text"].to_pylist()):
+            h = _shingle_hashes(text, shingle_k)
+            m = h.size
+            if m == 0:
+                continue
+            p = m - math.ceil(t * m) + 1  # prefix length for threshold t
+            grams_out.append(h[:p])
+            ids_out.append(np.full(p, ids[i], np.int64))
+            m_out.append(np.full(p, m, np.int32))
+        if not grams_out:
+            return pa.Table.from_pydict({
+                "gram": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64()),
+                "m": pa.array([], pa.int32())})
+        return pa.Table.from_pydict({
+            "gram": pa.array(np.concatenate(grams_out).view(np.int64)),
+            "doc_id": pa.array(np.concatenate(ids_out)),
+            "m": pa.array(np.concatenate(m_out)),
+        })
+
+    def posting_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id")
+        n = len(g)
+        if n < 2 or n > 10_000:  # skew guard: a stop-shingle posting list
+            return pd.DataFrame({"doc_id_a": [], "doc_id_b": []})
+        ids = g["doc_id"].to_numpy()
+        ms = g["m"].to_numpy()
+        a, b = np.triu_indices(n, k=1)
+        # size filter: J >= t impossible unless t*max(ma,mb) <= min(ma,mb)
+        lo = np.minimum(ms[a], ms[b])
+        hi = np.maximum(ms[a], ms[b])
+        keep = lo >= t * hi
+        da, db = ids[a][keep], ids[b][keep]
+        swap = da > db
+        return pd.DataFrame({"doc_id_a": np.where(swap, db, da),
+                             "doc_id_b": np.where(swap, da, db)})
+
+    from tag_ray.functions.grouping import coarse_grouped_apply
+
+    cand = (coarse_grouped_apply(
+                docs.map_batches(prefix_rows, batch_format="pyarrow"),
+                ["gram"], posting_pairs)
+            .groupby(["doc_id_a", "doc_id_b"]).aggregate(Count(alias_name="n"))
+            .to_pandas())
+    if cand.empty:
+        return pd.DataFrame({"doc_id_a": pd.Series([], dtype="int64"),
+                             "doc_id_b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+
+    import pyarrow.parquet as pq
+    from tag_ray.sources import table_path
+    need = np.unique(np.r_[cand.doc_id_a.to_numpy(), cand.doc_id_b.to_numpy()])
+    tbl = pq.read_table(table_path(sf_dir, "documents"), columns=["doc_id", "text"],
+                        filters=[("doc_id", "in", need.tolist())])
+    sets = {int(i): set(_shingle_hashes(txt, shingle_k).tolist())
+            for i, txt in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())}
+    out = []
+    for r in cand.itertuples():
+        sa, sb = sets[int(r.doc_id_a)], sets[int(r.doc_id_b)]
+        u = len(sa | sb)
+        j = round(len(sa & sb) / u, 4) if u else 0.0
+        if j >= t:
+            out.append((int(r.doc_id_a), int(r.doc_id_b), j))
+    out.sort()
+    return pd.DataFrame(out, columns=["doc_id_a", "doc_id_b", "jaccard"]) \
+        .astype({"doc_id_a": "int64", "doc_id_b": "int64"})
+
+
+def ngram_jaccard_sql(threshold: float = 0.5, k: int = 3) -> str:
+    """Exact word-k-gram Jaccard all-pairs (oracle; k=3 fixed in SQL)."""
+    assert k == 3
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) t
+  WHERE len(w) >= 3
+  UNION
+  SELECT doc_id, array_to_string(w, ' ') AS g FROM toks WHERE len(w) < 3
+),
+sizes AS (SELECT doc_id, COUNT(*) AS m FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS c
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_id_a, i.doc_id_b,
+       ROUND(CAST(i.c AS DOUBLE) / (sa.m + sb.m - i.c), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_id_a
+JOIN sizes sb ON sb.doc_id = i.doc_id_b
+WHERE ROUND(CAST(i.c AS DOUBLE) / (sa.m + sb.m - i.c), 4) >= {threshold}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -243,8 +380,11 @@ def doc_simhash_near_dups(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
                 rows.append((min(a, b_), max(a, b_), int(d[j])))
         return pd.DataFrame(rows, columns=["doc_id_a", "doc_id_b", "hamming"])
 
-    cand = (sh.map_batches(explode, batch_format="pyarrow")
-            .groupby(["band_id", "band_val"]).map_groups(pairs, batch_format="pandas"))
+    from tag_ray.functions.grouping import coarse_grouped_apply
+
+    cand = coarse_grouped_apply(
+        sh.map_batches(explode, batch_format="pyarrow"),
+        ["band_id", "band_val"], pairs)
     uniq = cand.groupby(["doc_id_a", "doc_id_b"]).aggregate(
         Min("hamming", alias_name="hamming"))
     from tag_ray.pipelines._util import small_result
@@ -297,7 +437,7 @@ def emb_near_pairs(sf_dir: str, threshold: float = 0.45) -> pd.DataFrame:
     return small_result(
         emb.map_batches(PairFinder,
                         fn_constructor_kwargs={"h": handle, "thr": threshold},
-                        batch_format="pyarrow", concurrency=(1, 4)),
+                        batch_format="pyarrow", concurrency=scale_concurrency(None)),
         {"vec_id_a": "int64", "vec_id_b": "int64", "cos": "float64"})
 
 
@@ -341,4 +481,4 @@ def emb_lsh_buckets(sf_dir: str, n_planes: int = 16, seed: int = 9) -> rd.Datase
                 {"vec_id": b["vec_id"], "bucket": pa.array(bucket)})
 
     return emb.map_batches(Bucketize, fn_constructor_kwargs={"h": planes_handle},
-                           batch_format="pyarrow", concurrency=(1, 4))
+                           batch_format="pyarrow", concurrency=scale_concurrency(None))

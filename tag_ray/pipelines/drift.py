@@ -14,7 +14,7 @@ import pandas as pd
 
 import ray.data as rd
 
-from tag_ray.config import DEFAULT_CONFIG, EngineConfig
+from tag_ray.config import DEFAULT_CONFIG, EngineConfig, scale_concurrency
 from tag_ray.functions.sketches import ColumnSketch
 from tag_ray.stages.features import PixelFeatures
 from tag_ray.stages.stats import GLOBAL_KEY, column_stats
@@ -53,11 +53,11 @@ def feature_drift(images_ds: rd.Dataset, cfg: EngineConfig = DEFAULT_CONFIG,
         fn_constructor_kwargs={"cfg": cfg},
         batch_format="pyarrow",
         batch_size=cfg.validate_batch_size,
-        concurrency=cfg.validate_concurrency,
+        concurrency=scale_concurrency(cfg.validate_concurrency),
     )
     per_part = column_stats(feats, [feature], key_column="partition_id",
                             batch_size=cfg.stats_batch_size,
-                            concurrency=cfg.stats_concurrency).to_pandas()
+                            concurrency=scale_concurrency(cfg.stats_concurrency)).to_pandas()
     sketches = {int(r.key): ColumnSketch.from_bytes(r.sketch)
                 for r in per_part.itertuples()}
     merged = None

@@ -17,6 +17,7 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Mean
 
+from tag_ray.config import scale_concurrency
 from tag_ray.sources import table
 
 
@@ -118,7 +119,84 @@ def emb_cosine_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> pd.DataF
 
     partials = emb.map_batches(
         TopK, fn_constructor_kwargs={"h": handle, "k": k, "exclude": query_vec_id},
-        batch_format="pyarrow", concurrency=(1, 4))
+        batch_format="pyarrow", concurrency=scale_concurrency(None))
+    df = partials.to_pandas()
+    df = df.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
+    return df.reset_index(drop=True)
+
+
+def _train_centroids(sample: np.ndarray, n_clusters: int, iters: int = 8,
+                     seed: int = 7) -> np.ndarray:
+    """Spherical k-means on a bounded sample (standard IVF practice:
+    training sees ~10^5 vectors however big the table is). Driver-side
+    numpy — the trained centroids broadcast once via ray.put."""
+    norms = np.sqrt((sample * sample).sum(axis=1, keepdims=True))
+    x = sample / np.where(norms == 0, 1.0, norms)
+    rng = np.random.default_rng(seed)
+    c = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = (x @ c.T).argmax(axis=1)
+        for j in range(len(c)):
+            members = x[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.sqrt((m * m).sum())
+                c[j] = m / (n if n else 1.0)
+    return c
+
+
+def emb_ivf_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10,
+                 n_clusters: int = 16, nprobe: int = 4,
+                 train_sample: int = 4096) -> pd.DataFrame:
+    """IVF approximate top-k — the 10^12-scale path for similarity search.
+
+    Train coarse centroids on a sample; broadcast (centroids, query,
+    probe-set) once; ONE streaming pass assigns each vector to its
+    nearest centroid and scores only vectors landing in the query's
+    ``nprobe`` closest buckets (~nprobe/n_clusters of the data). No
+    shuffle at all; per-batch work is two matmuls. Approximate ⇒ no SQL
+    oracle; recall vs the brute-force baseline is pytest-gated."""
+    import pyarrow.parquet as pq
+    from tag_ray.sources import table_path
+
+    sample_tbl = pq.read_table(table_path(sf_dir, "embeddings"),
+                               columns=["vec_id", "embedding"])
+    sample = _emb_matrix(
+        sample_tbl.slice(0, min(train_sample, sample_tbl.num_rows)))
+    cents = _train_centroids(sample, n_clusters)
+
+    qi = sample_tbl["vec_id"].to_pylist().index(query_vec_id)
+    q = np.array(sample_tbl["embedding"][qi].as_py(), dtype=np.float64)
+    q /= np.sqrt((q * q).sum())
+    probe = set(np.argsort(-(cents @ q))[:nprobe].tolist())
+    handle = ray.put((cents, q, probe))
+
+    emb = table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    class ProbeScore:
+        def __init__(self, h, k, exclude):
+            self.cents, self.q, self.probe = ray.get(h)
+            self.k, self.exclude = k, exclude
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            m = _emb_matrix(b)
+            norms = np.sqrt((m * m).sum(axis=1))
+            mn = m / np.where(norms == 0, 1.0, norms)[:, None]
+            bucket = (mn @ self.cents.T).argmax(axis=1)
+            ids = b["vec_id"].to_numpy(zero_copy_only=False)
+            keep = np.array([bk in self.probe for bk in bucket]) \
+                & (ids != self.exclude)
+            cos_r = np.round(mn[keep] @ self.q, 4)
+            order = np.lexsort((ids[keep], -cos_r))[: self.k]
+            return pa.Table.from_pydict({
+                "vec_id": pa.array(ids[keep][order]),
+                "cos": pa.array(cos_r[order]),
+            })
+
+    partials = emb.map_batches(
+        ProbeScore, fn_constructor_kwargs={"h": handle, "k": k,
+                                           "exclude": query_vec_id},
+        batch_format="pyarrow", concurrency=scale_concurrency(None))
     df = partials.to_pandas()
     df = df.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
     return df.reset_index(drop=True)

@@ -22,6 +22,7 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
+from tag_ray.config import scale_concurrency
 from tag_ray.sources import table
 
 _US_PER_HOUR = 3_600_000_000
@@ -176,7 +177,7 @@ def q5_region_revenue(sf_dir: str) -> rd.Dataset:
                 {"o_orderkey": b["o_orderkey"], "r_name": pa.array(names, pa.string())})
 
     orders_r = orders.map_batches(AttachRegion, fn_constructor_kwargs={"h": handle},
-                                  batch_format="pyarrow", concurrency=(1, 4))
+                                  batch_format="pyarrow", concurrency=scale_concurrency(None))
     li = table(sf_dir, "lineitem",
                columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
@@ -288,7 +289,7 @@ def ref_orphan_orders(sf_dir: str) -> rd.Dataset:
     from tag_ray.pipelines._util import small_result
     return small_result(
         orders.map_batches(AntiJoin, fn_constructor_kwargs={"h": handle},
-                           batch_format="pyarrow", concurrency=(1, 4)),
+                           batch_format="pyarrow", concurrency=scale_concurrency(None)),
         {"o_orderkey": "int64", "o_custkey": "int64"})
 
 

@@ -57,6 +57,32 @@ FROM documents
 """
 
 
+def doc_sample_hash(sf_dir: str, hex_below: str = "1a") -> rd.Dataset:
+    """Deterministic key-hash sampling (≈ int(hex_below,16)/256 of rows).
+
+    The reproducible alternative to ``Dataset.random_sample`` for
+    training-data splits: membership depends only on the key, so the
+    sample is stable across runs, resumable shards, and engines — which
+    is also what makes it oracle-checkable. Embarrassingly parallel
+    (pure map_batches filter, no shuffle)."""
+
+    docs = table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def pick(b: pa.Table) -> pa.Table:
+        keys = [hashlib.md5(str(d).encode()).hexdigest()[:2]
+                for d in b["doc_id"].to_pylist()]
+        mask = pa.array([k < hex_below for k in keys])
+        return b.filter(mask)
+
+    return docs.map_batches(pick, batch_format="pyarrow")
+
+
+SAMPLE_HASH_SQL = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+"""
+
+
 def doc_fingerprint(sf_dir: str) -> rd.Dataset:
     """Per-row content fingerprint (md5) — the analogue of the reference's
     metadata-invariant checksum printed per file (cmd/sum/main.go:36)."""
