@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_check_part": R.range_check_part,
         "set_check_orders": R.set_check_orders,
         "events_hourly": R.events_hourly,
+        "events_type_stats": R.events_type_stats,
         "events_sessions": R.events_sessions,
         "stats_lineitem_global": R.stats_lineitem_global,
         # --- text analysis (oracle-checked) ---
@@ -124,6 +125,7 @@ def oracle_sql() -> dict[str, str]:
         "range_check_part": R.RANGE_SQL,
         "set_check_orders": R.SET_SQL,
         "events_hourly": R.EVENTS_HOURLY_SQL,
+        "events_type_stats": R.EVENTS_TYPE_STATS_SQL,
         "events_sessions": R.EVENTS_SESSIONS_SQL,
         "stats_lineitem_global": R.STATS_LINEITEM_SQL,
         "doc_lang_counts": T.LANG_COUNTS_SQL,

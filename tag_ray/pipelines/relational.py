@@ -371,6 +371,51 @@ def events_hourly(sf_dir: str) -> rd.Dataset:
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+def events_type_stats(sf_dir: str) -> rd.Dataset:
+    """Per-event-type stats over a 5-distinct-value key — the canonical
+    hot-key groupby, routed through the salted two-phase aggregation
+    (functions/salted.py) so no reducer ever sees a whole key's rows.
+    Money-style cents discipline keeps sums exact vs the SQL oracle."""
+    from tag_ray.functions.salted import salted_aggregate
+
+    ev = table(sf_dir, "events", columns=["event_type", "value"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "event_type": b["event_type"],
+            "value_c": pa.array(_cents(b["value"].to_numpy(zero_copy_only=False))),
+        })
+
+    agg = salted_aggregate(
+        ev.map_batches(derive, batch_format="pyarrow"), "event_type",
+        [("count", None, "n"), ("sum", "value_c", "sum_c"),
+         ("min", "value_c", "min_c"), ("max", "value_c", "max_c")],
+        salt_buckets=8)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False)
+        s = b["sum_c"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "event_type": b["event_type"], "n": b["n"],
+            "sum_value": pa.array(s / 100.0),
+            "avg_value": pa.array(np.round(s / n / 100.0, 4)),
+            "min_value": pa.array(b["min_c"].to_numpy(zero_copy_only=False) / 100.0),
+            "max_value": pa.array(b["max_c"].to_numpy(zero_copy_only=False) / 100.0),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+EVENTS_TYPE_STATS_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(round(value*100) AS BIGINT))/100.0 AS sum_value,
+       ROUND(SUM(CAST(round(value*100) AS BIGINT))/COUNT(*)/100.0, 4) AS avg_value,
+       MIN(CAST(round(value*100) AS BIGINT))/100.0 AS min_value,
+       MAX(CAST(round(value*100) AS BIGINT))/100.0 AS max_value
+FROM events GROUP BY event_type
+"""
+
+
 EVENTS_HOURLY_SQL = """
 SELECT event_type,
        CAST(floor(epoch_us(ts)/3600000000.0) AS BIGINT) AS hour,
