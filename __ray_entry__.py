@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "set_check_orders": R.set_check_orders,
         "events_hourly": R.events_hourly,
         "events_type_stats": R.events_type_stats,
+        "events_sliding": R.events_sliding,
         "events_sessions": R.events_sessions,
         "stats_lineitem_global": R.stats_lineitem_global,
         # --- text analysis (oracle-checked) ---
@@ -97,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_exact_dup_groups": D.doc_exact_dup_groups,
         "doc_minhash_near_dups": D.doc_minhash_near_dups,
         "doc_ngram_jaccard_near_dups": D.doc_ngram_jaccard_near_dups,
+        "doc_near_dup_clusters": D.doc_near_dup_clusters,
         "doc_simhash_near_dups": D.doc_simhash_near_dups,
         "emb_near_pairs": D.emb_near_pairs,
         "emb_lsh_buckets": D.emb_lsh_buckets,
@@ -126,6 +128,7 @@ def oracle_sql() -> dict[str, str]:
         "set_check_orders": R.SET_SQL,
         "events_hourly": R.EVENTS_HOURLY_SQL,
         "events_type_stats": R.EVENTS_TYPE_STATS_SQL,
+        "events_sliding": R.events_sliding_sql(),
         "events_sessions": R.EVENTS_SESSIONS_SQL,
         "stats_lineitem_global": R.STATS_LINEITEM_SQL,
         "doc_lang_counts": T.LANG_COUNTS_SQL,

@@ -482,3 +482,29 @@ def emb_lsh_buckets(sf_dir: str, n_planes: int = 16, seed: int = 9) -> rd.Datase
 
     return emb.map_batches(Bucketize, fn_constructor_kwargs={"h": planes_handle},
                            batch_format="pyarrow", concurrency=scale_concurrency(None))
+
+
+# ---------------------------------------------------------------------------
+# near-dup clusters: transitive closure of the verified pair relation
+
+
+def doc_near_dup_clusters(sf_dir: str, jaccard_threshold: float = 0.5) -> pd.DataFrame:
+    """(doc_id, cluster_id, keep): connected components over the verified
+    MinHash near-dup pairs; ``keep`` marks the cluster's minimum doc_id —
+    the "first of each duplicate group" a dedup pipeline retains."""
+    import ray.data as rd
+
+    from tag_ray.functions.components import connected_components
+
+    pairs = doc_minhash_near_dups(sf_dir, jaccard_threshold)
+    if pairs.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "cluster_id": pd.Series([], dtype="int64"),
+                             "keep": pd.Series([], dtype="bool")})
+    edges = rd.from_arrow(pa.Table.from_pandas(
+        pairs[["doc_id_a", "doc_id_b"]], preserve_index=False))
+    comp = connected_components(edges, "doc_id_a", "doc_id_b").to_pandas()
+    comp = comp.rename(columns={"node": "doc_id", "component": "cluster_id"})
+    comp["keep"] = comp["doc_id"] == comp["cluster_id"]
+    return comp.sort_values("doc_id").reset_index(drop=True) \
+        .astype({"doc_id": "int64", "cluster_id": "int64"})

@@ -406,6 +406,66 @@ def events_type_stats(sf_dir: str) -> rd.Dataset:
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+def events_sliding(sf_dir: str, window_hours: int = 2,
+                   slide_hours: int = 1) -> rd.Dataset:
+    """Sliding-window aggregate (window=2h, slide=1h): each event lands
+    in window_hours/slide_hours consecutive windows — a vectorized
+    explode inside map_batches, then one groupby on (event_type,
+    window). The explode factor is the window/slide ratio, known up
+    front, so the shuffle grows by exactly that constant — no
+    order-dependent state, hence no sort needed (the streaming analogue
+    the reference lacks; SURVEY.md §2.6)."""
+    win_us = window_hours * _US_PER_HOUR
+    slide_us = slide_hours * _US_PER_HOUR
+    ev = table(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        j_hi = us // slide_us
+        j_lo = (us - win_us) // slide_us + 1
+        k = int(win_us // slide_us)  # windows per event
+        offs = np.arange(k)
+        wins = (j_lo[:, None] + offs[None, :])         # (n, k)
+        keep = wins <= j_hi[:, None]
+        idx = np.repeat(np.arange(len(us)), k)[keep.ravel()]
+        return pa.Table.from_pydict({
+            "event_type": b["event_type"].take(pa.array(idx)),
+            "win_idx": pa.array(wins.ravel()[keep.ravel()]),
+            "value_c": pa.array(_cents(
+                b["value"].to_numpy(zero_copy_only=False))[idx]),
+        })
+
+    agg = (ev.map_batches(explode, batch_format="pyarrow")
+           .groupby(["event_type", "win_idx"])
+           .aggregate(Count(alias_name="n"), Sum("value_c", alias_name="sum_c")))
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "event_type": b["event_type"], "win_idx": b["win_idx"], "n": b["n"],
+            "sum_value": pa.array(
+                b["sum_c"].to_numpy(zero_copy_only=False) / 100.0),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def events_sliding_sql(window_hours: int = 2, slide_hours: int = 1) -> str:
+    win = window_hours * _US_PER_HOUR
+    slide = slide_hours * _US_PER_HOUR
+    return f"""
+WITH e AS (SELECT event_type, epoch_us(ts) AS us, value FROM events),
+w AS (
+  SELECT event_type, value,
+         unnest(generate_series(
+             CAST(floor(CAST(us - {win} AS DOUBLE) / {slide}) AS BIGINT) + 1,
+             CAST(floor(CAST(us AS DOUBLE) / {slide}) AS BIGINT))) AS win_idx
+  FROM e)
+SELECT event_type, win_idx, COUNT(*) AS n,
+       SUM(CAST(round(value*100) AS BIGINT))/100.0 AS sum_value
+FROM w GROUP BY event_type, win_idx
+"""
+
+
 EVENTS_TYPE_STATS_SQL = """
 SELECT event_type, COUNT(*) AS n,
        SUM(CAST(round(value*100) AS BIGINT))/100.0 AS sum_value,

@@ -1,0 +1,52 @@
+"""coarse_grouped_apply must be exactly equivalent to a per-fine-key
+groupby().map_groups() — it underpins phash/simhash/minhash/n-gram
+bucket processing. (Helper fns live inside the tests: cloudpickle ships
+closures by value, while module-level fns in tests/ are not importable
+on Ray workers.)"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from tag_ray.functions.grouping import coarse_grouped_apply
+
+
+def _make(n=4000, keys=300, seed=5):
+    rng = np.random.default_rng(seed)
+    return pa.Table.from_pydict({
+        "k1": rng.integers(0, 4, n).astype(np.int32),
+        "k2": rng.integers(0, keys, n),
+        "id": np.arange(n),
+    })
+
+
+def test_matches_plain_groupby(ray_session):
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["id"].to_numpy())
+        a, b = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"a": ids[a], "b": ids[b]})
+
+    tbl = _make()
+    got = coarse_grouped_apply(
+        rd.from_arrow(tbl), ["k1", "k2"], pairs, num_buckets=7).to_pandas()
+    ref = (tbl.to_pandas().groupby(["k1", "k2"])
+           .apply(lambda g: pairs(g) if len(g) >= 2
+                  else pd.DataFrame({"a": [], "b": []}))
+           .reset_index(drop=True))
+    key = lambda df: df.sort_values(["a", "b"]).reset_index(drop=True).astype("int64")
+    pd.testing.assert_frame_equal(key(got), key(ref))
+
+
+def test_min_size_skips_singletons(ray_session):
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["id"].to_numpy())
+        a, b = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"a": ids[a], "b": ids[b]})
+
+    tbl = pa.Table.from_pydict({
+        "k1": np.zeros(5, np.int32), "k2": np.arange(5), "id": np.arange(5)})
+    got = coarse_grouped_apply(
+        rd.from_arrow(tbl), ["k1", "k2"], pairs, num_buckets=3).to_pandas()
+    assert len(got) == 0  # all groups singleton → nothing emitted
