@@ -162,9 +162,33 @@ def main(argv: list[str] | None = None) -> dict:
     if len(store.done_partitions()) == len(all_parts):
         summary["global_violations"] = run_global_checks(args.images, args.out, cfg)
         merge_sketches(args.out)
+        write_report(args.out)
         summary = store.write_summary(summary)
     print(json.dumps(summary))
     return summary
+
+
+def write_report(out_dir: str) -> None:
+    """Check-histogram report — the distributed ``processor.String()``
+    (cmd/check/main.go:133-149): violation counts by check × partition,
+    as JSON next to the data artifacts."""
+    import glob
+
+    files = glob.glob(os.path.join(out_dir, "violations", "**", "*.parquet"),
+                      recursive=True)
+    if not files:
+        return
+    counts = (rd.read_parquet(files)
+              .groupby(["check", "partition_id"])
+              .aggregate(Count(alias_name="n")).to_pandas())
+    by_check = counts.groupby("check")["n"].sum().to_dict()
+    by_partition = counts.groupby("partition_id")["n"].sum().to_dict()
+    with open(os.path.join(out_dir, "_REPORT.json"), "w") as f:
+        json.dump({
+            "violations_by_check": {str(k): int(v) for k, v in sorted(by_check.items())},
+            "violations_by_partition": {str(int(k)): int(v)
+                                        for k, v in sorted(by_partition.items())},
+        }, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -16,3 +16,32 @@ def table(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Datase
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def read_table(uri: str, columns: list[str] | None = None,
+               **kwargs) -> rd.Dataset:
+    """Storage-dispatching reader: ``.lance`` datasets go through
+    ``ray.data.read_lance`` when the (optional) ``lance`` wheel is
+    present; everything else reads as Parquet. Both paths surface the
+    same Arrow-block Dataset, so pipelines never branch on storage."""
+    if uri.rstrip("/").endswith(".lance"):
+        try:
+            return rd.read_lance(uri, columns=columns, **kwargs)
+        except (AttributeError, ImportError) as e:  # no lance offline
+            raise RuntimeError(
+                "Lance storage requested but the 'lance' wheel is not "
+                "installed in this environment") from e
+    return rd.read_parquet(uri, columns=columns, **kwargs)
+
+
+def write_table(ds: rd.Dataset, uri: str, **kwargs) -> None:
+    """Mirror of read_table for sinks (violations, reports, features)."""
+    if uri.rstrip("/").endswith(".lance"):
+        try:
+            ds.write_lance(uri, **kwargs)
+            return
+        except (AttributeError, ImportError) as e:
+            raise RuntimeError(
+                "Lance storage requested but the 'lance' wheel is not "
+                "installed in this environment") from e
+    ds.write_parquet(uri, **kwargs)

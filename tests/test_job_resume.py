@@ -45,6 +45,8 @@ def test_job_interrupt_resume(tmp_path, ray_session):
     assert s2["partitions_done"] == 6
     assert os.path.exists(os.path.join(interrupted, "_SUMMARY.json"))
     assert os.path.exists(os.path.join(interrupted, "sketches", "merged"))
+    report = json.load(open(os.path.join(interrupted, "_REPORT.json")))
+    assert sum(report["violations_by_check"].values()) > 0
 
     # uninterrupted reference run → identical violation rows
     s3 = job_main(base + ["--out", clean])
