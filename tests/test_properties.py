@@ -1,0 +1,84 @@
+"""Property-based tests (hypothesis) — the generative upgrade of the
+reference's fuzz regression (sum_test.go:8-40: malformed input must
+error, never panic) plus codec/sketch invariants."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from tag_ray import codecs
+from tag_ray.codecs import DecodeError
+from tag_ray.functions.sketches import ColumnSketch
+
+FMTS = ["png", "ppm", "bmp", "dctq"]
+
+
+@settings(max_examples=80, deadline=None)
+@given(data=st.binary(min_size=0, max_size=4096))
+def test_arbitrary_bytes_never_crash(data):
+    """identify → None or a format name; decode → pixels or DecodeError.
+    No other exception type may escape (row-level containment depends
+    on this contract)."""
+    fmt = codecs.identify(data)
+    assert fmt is None or fmt in FMTS
+    for f in FMTS:
+        try:
+            px = codecs.decode(f, data, max_pixels=1 << 20)
+            assert px.ndim == 3 and px.shape[2] == 3
+        except DecodeError:
+            pass
+
+
+@settings(max_examples=80, deadline=None)
+@given(data=st.binary(min_size=1, max_size=2048),
+       fmt=st.sampled_from(FMTS))
+def test_valid_prefix_with_garbage_tail(data, fmt):
+    """magic prefix + garbage: must be DecodeError or a decode, never
+    a crash (issue-73-style crasher class)."""
+    blob = codecs.CODECS[fmt].magic + data
+    try:
+        codecs.decode(fmt, blob, max_pixels=1 << 20)
+    except DecodeError:
+        pass
+
+
+@settings(max_examples=25, deadline=None)
+@given(h=st.integers(1, 24), w=st.integers(1, 24),
+       seed=st.integers(0, 2**31 - 1), fmt=st.sampled_from(FMTS))
+def test_roundtrip_property(h, w, seed, fmt):
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    blob = codecs.encode(fmt, px)
+    assert codecs.identify(blob) == fmt
+    assert codecs.read_header(fmt, blob) == (w, h)
+    out = codecs.decode(fmt, blob)
+    ref = codecs.decode_reference(fmt, blob)
+    assert out.shape == px.shape
+    if codecs.CODECS[fmt].lossless:
+        assert np.array_equal(out, px)
+        assert np.array_equal(ref, px)
+    else:
+        assert codecs.psnr(out, px) >= 40.0
+        assert codecs.psnr(out, ref) >= 50.0  # two decoders agree closely
+
+
+@settings(max_examples=25, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1),
+       n=st.integers(2, 400),
+       parts=st.integers(1, 7))
+def test_sketch_merge_associative(seed, n, parts):
+    """Any split/merge order of partials gives the same summary as one
+    pass — the property exact resume depends on."""
+    rng = np.random.default_rng(seed)
+    x = rng.normal(50, 10, n)
+    single = ColumnSketch().add_numeric(x)
+    chunks = np.array_split(x, parts)
+    acc = ColumnSketch()
+    for c in chunks:
+        acc.merge(ColumnSketch().add_numeric(c))
+    a, b = single.summary(), acc.summary()
+    assert a["count"] == b["count"]
+    assert np.isclose(a["mean"], b["mean"], equal_nan=True)
+    assert np.isclose(a["variance"], b["variance"], equal_nan=True)
+    assert a["min"] == b["min"] and a["max"] == b["max"]
+    assert a["approx_distinct"] == b["approx_distinct"]
