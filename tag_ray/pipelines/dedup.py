@@ -95,6 +95,52 @@ class MinHasher:
             hv = (self.a[None, :] * x + self.b[None, :]) % _MERSENNE
         return hv.min(axis=0)
 
+    def signatures_batch(self, texts: list[str],
+                         chunk_grams: int = 100_000) -> np.ndarray:
+        """(n_docs, num_perm) signature matrix, one vectorized pass:
+        flatten every doc's shingles, hash once, permute once, and
+        segment-min back per doc with ``np.minimum.reduceat`` — no
+        per-doc Python in the hot loop. Identical results to
+        ``signature(shingles(t))`` (duplicate shingles can't change a
+        min, so the per-doc unique step is unnecessary here)."""
+        grams: list[str] = []
+        counts = np.zeros(len(texts), dtype=np.int64)
+        for i, text in enumerate(texts):
+            toks = text.strip().split()
+            if not toks:
+                continue
+            if len(toks) < self.k:
+                grams.append(" ".join(toks))
+                counts[i] = 1
+            else:
+                m = len(toks) - self.k + 1
+                grams.extend(" ".join(toks[j:j + self.k]) for j in range(m))
+                counts[i] = m
+        out = np.full((len(texts), self.num_perm),
+                      np.iinfo(np.uint64).max, np.uint64)
+        if not grams:
+            return out
+        h = hash_strings64(grams)
+        ends = np.cumsum(counts)
+        starts = ends - counts
+        nonempty = np.flatnonzero(counts)
+        # chunk by docs so the (grams, num_perm) permute matrix stays small
+        lo = 0
+        while lo < len(nonempty):
+            hi = lo
+            total = 0
+            while hi < len(nonempty) and total < chunk_grams:
+                total += counts[nonempty[hi]]
+                hi += 1
+            docs = nonempty[lo:hi]
+            seg = np.concatenate([h[starts[d]:ends[d]] for d in docs])
+            with np.errstate(over="ignore"):
+                hv = (self.a[None, :] * seg[:, None] + self.b[None, :]) % _MERSENNE
+            offs = np.r_[0, np.cumsum(counts[docs])[:-1]]
+            out[docs] = np.minimum.reduceat(hv, offs, axis=0)
+            lo = hi
+        return out
+
 
 def _band_rows(ids: list, sigs: np.ndarray, bands: int) -> pa.Table:
     n, num_perm = sigs.shape
@@ -132,8 +178,7 @@ def doc_minhash_candidates(docs: rd.Dataset, num_perm: int = 128,
 
         def __call__(self, b: pa.Table) -> pa.Table:
             ids = b["doc_id"].to_numpy(zero_copy_only=False)
-            sigs = np.stack([self.mh.signature(self.mh.shingles(t))
-                             for t in b["text"].to_pylist()])
+            sigs = self.mh.signatures_batch(b["text"].to_pylist())
             return _band_rows(ids, sigs, self.bands)
 
     banded = docs.map_batches(
@@ -337,11 +382,37 @@ def simhash64(tokens: list[str]) -> int:
     return int(word.astype(np.int64))
 
 
+def simhash64_batch(texts: list[str]) -> np.ndarray:
+    """Vectorized Charikar simhash for a batch: flatten all tokens, hash
+    once, expand to a bit matrix, segment-sum per doc with
+    ``np.add.reduceat``. Equal to ``simhash64(t.split())`` per row."""
+    toks_all: list[str] = []
+    counts = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        toks = t.strip().split()
+        toks_all.extend(toks)
+        counts[i] = len(toks)
+    out = np.zeros(len(texts), dtype=np.int64)
+    if not toks_all:
+        return out
+    h = hash_strings64(toks_all)
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.int64)
+    score = 2 * bits - 1
+    nonempty = np.flatnonzero(counts)
+    offs = np.r_[0, np.cumsum(counts)[:-1]][nonempty]
+    sums = np.add.reduceat(score, offs, axis=0)
+    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+    words = ((sums > 0) * weights[None, :]).sum(axis=1, dtype=np.uint64)
+    out[nonempty] = words.view(np.int64)
+    return out
+
+
 def doc_simhash(sf_dir: str) -> rd.Dataset:
     docs = table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def derive(b: pa.Table) -> pa.Table:
-        sh = [simhash64(t.strip().split()) for t in b["text"].to_pylist()]
+        sh = simhash64_batch(b["text"].to_pylist())
         return pa.Table.from_pydict(
             {"doc_id": b["doc_id"], "simhash": pa.array(sh, pa.int64())})
 
