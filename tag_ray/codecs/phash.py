@@ -42,10 +42,13 @@ def phash64(pixels: np.ndarray) -> int:
     small = _resize_area(gray)
     freq = _DCT32 @ small @ _DCT32.T
     block = freq[:8, :8].ravel()
-    med = np.median(block[1:])  # exclude DC term from the threshold
+    # median of the 63 AC terms = element 31 of the partition — identical
+    # to np.median for odd length, without its dispatch overhead (this is
+    # the kernel's hottest line; results must stay bit-identical because
+    # stored fixture phashes are compared against recomputed ones)
+    med = np.partition(block[1:], 31)[31]
     bits = block > med
     bits[0] = False
-    word = np.uint64(0)
     word = (bits.astype(np.uint64) * _BITS).sum(dtype=np.uint64)
     return int(word.astype(np.int64))
 
