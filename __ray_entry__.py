@@ -86,6 +86,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": R.events_sliding,
         "events_sessions": R.events_sessions,
         "stats_lineitem_global": R.stats_lineitem_global,
+        "cust_with_open_orders": R.cust_with_open_orders,
+        "active_party_keys": R.active_party_keys,
+        "big_orders": R.big_orders,
         # --- text analysis (oracle-checked) ---
         "doc_lang_counts": T.doc_lang_counts,
         "doc_token_stats": T.doc_token_stats,
@@ -131,6 +134,9 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding": R.events_sliding_sql(),
         "events_sessions": R.EVENTS_SESSIONS_SQL,
         "stats_lineitem_global": R.STATS_LINEITEM_SQL,
+        "cust_with_open_orders": R.SEMI_JOIN_SQL,
+        "active_party_keys": R.ACTIVE_PARTY_SQL,
+        "big_orders": R.BIG_ORDERS_SQL,
         "doc_lang_counts": T.LANG_COUNTS_SQL,
         "doc_token_stats": T.TOKEN_STATS_SQL,
         "doc_fingerprint": T.FINGERPRINT_SQL,

@@ -564,3 +564,87 @@ SELECT COUNT(*) AS n,
        ROUND(AVG(l_extendedprice), 4) AS avg_price
 FROM lineitem
 """
+
+
+# ---------------------------------------------------------------------------
+# semi-join: customers having at least one open order (EXISTS pattern).
+# Small side = distinct open-order custkeys, broadcast via ray.put —
+# the J2 membership-predicate pattern at table granularity.
+
+
+def cust_with_open_orders(sf_dir: str) -> rd.Dataset:
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+
+    from tag_ray.sources import table_path
+
+    keys = pq.read_table(table_path(sf_dir, "orders"),
+                         columns=["o_custkey", "o_orderstatus"],
+                         filters=[("o_orderstatus", "=", "O")])
+    open_keys = ray.put(pc.unique(keys["o_custkey"].combine_chunks()))
+
+    cust = table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    class SemiJoin:
+        def __init__(self, h):
+            self.keys = pa.array(ray.get(h))
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            return b.filter(pc.is_in(b["c_custkey"], value_set=self.keys))
+
+    return cust.map_batches(SemiJoin, fn_constructor_kwargs={"h": open_keys},
+                            batch_format="pyarrow",
+                            concurrency=scale_concurrency(None))
+
+
+SEMI_JOIN_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+"""
+
+
+# ---------------------------------------------------------------------------
+# distinct over a union of projections (set-op surface)
+
+
+def active_party_keys(sf_dir: str) -> rd.Dataset:
+    """Distinct nation keys appearing as either a customer's or a
+    supplier's nation — union → project → global distinct."""
+    cust = table(sf_dir, "customer", columns=["c_nationkey"]).map_batches(
+        lambda b: pa.Table.from_pydict({"nationkey": b["c_nationkey"]}),
+        batch_format="pyarrow")
+    supp = table(sf_dir, "supplier", columns=["s_nationkey"]).map_batches(
+        lambda b: pa.Table.from_pydict({"nationkey": b["s_nationkey"]}),
+        batch_format="pyarrow")
+    return cust.union(supp).groupby("nationkey").aggregate(
+        Count(alias_name="n_refs"))
+
+
+ACTIVE_PARTY_SQL = """
+SELECT nationkey, COUNT(*) AS n_refs FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  UNION ALL
+  SELECT s_nationkey AS nationkey FROM supplier
+) GROUP BY nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# HAVING over an aggregate (post-aggregation filter)
+
+
+def big_orders(sf_dir: str, min_items: int = 6) -> rd.Dataset:
+    import pyarrow.compute as pc
+
+    li = table(sf_dir, "lineitem", columns=["l_orderkey"])
+    agg = li.groupby("l_orderkey").aggregate(Count(alias_name="n_items"))
+    return agg.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["n_items"], min_items)),
+        batch_format="pyarrow")
+
+
+BIG_ORDERS_SQL = """
+SELECT l_orderkey, COUNT(*) AS n_items FROM lineitem
+GROUP BY l_orderkey HAVING COUNT(*) >= 6
+"""
