@@ -238,13 +238,16 @@ def doc_minhash_near_dups(sf_dir: str, jaccard_threshold: float = 0.5,
 # Unlike MinHash-LSH (approximate recall), this is EXACT for the given
 # threshold: prefix filtering (PPJoin family) guarantees every pair with
 # J >= t shares at least one n-gram in the other's prefix under ANY fixed
-# global token order (we order by shingle hash; production would order by
-# ascending document frequency to shrink posting lists further). Shuffle
-# carries only (gram_hash, doc_id, set_size) prefix rows.
+# global token order. The order used is (document frequency asc, hash) —
+# DF estimated once from a bounded sample and broadcast — so prefixes
+# hold each doc's RAREST grams and posting lists stay tiny (hash-only
+# ordering put stop-shingles in prefixes: 15× slower, measured).
+# Shuffle carries only (gram_hash, doc_id, set_size) prefix rows.
 
 
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Distinct word-k-shingle hashes, sorted (the global prefix order)."""
+    """Distinct word-k-shingle hashes, sorted by hash (verification-side
+    set representation; prefix ordering is handled separately)."""
     toks = text.strip().split()
     if len(toks) < k:
         grams = [" ".join(toks)] if toks else []
@@ -255,40 +258,87 @@ def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     return np.sort(np.unique(hash_strings64(grams)))
 
 
-def doc_ngram_jaccard_near_dups(sf_dir: str, threshold: float = 0.5,
+_DF_SAMPLE_DOCS = 2000
+_DF_MIN_COUNT = 3  # grams rarer than this in the sample default to df=1
+
+
+def _sample_gram_df(sf_dir: str, shingle_k: int):
+    """Estimate gram document frequencies from a bounded doc sample.
+
+    Only affects the ORDER (performance), never correctness — prefix
+    filtering is exact under any consistent total order. Returns sorted
+    (hashes, dfs) arrays for vectorized searchsorted lookup."""
+    import pyarrow.parquet as pq
+
+    from tag_ray.sources import table_path
+
+    pf = pq.ParquetFile(table_path(sf_dir, "documents"))
+    batches = pf.iter_batches(batch_size=_DF_SAMPLE_DOCS, columns=["text"])
+    texts = next(batches, None)
+    counts: dict[int, int] = {}
+    if texts is not None:
+        for text in texts["text"].to_pylist():
+            for h in _shingle_hashes(text or "", shingle_k).tolist():
+                counts[h] = counts.get(h, 0) + 1
+    common = sorted(h for h, c in counts.items() if c >= _DF_MIN_COUNT)
+    keys = np.array(common, dtype=np.uint64)
+    vals = np.array([counts[h] for h in common], dtype=np.int32)
+    return keys, vals
+
+
+def doc_ngram_jaccard_near_dups(sf_dir: str, threshold: float = 0.7,
                                 shingle_k: int = 3) -> pd.DataFrame:
     """All pairs with word-``shingle_k``-gram Jaccard >= ``threshold``.
 
-    prefix explode (map_batches) → groupby(gram) posting lists →
-    candidate pairs with size filter → pair-distinct groupby → exact
-    verification against the re-read candidate docs. Exact ⇒ carries a
-    full SQL oracle (NGRAM_JACCARD_SQL)."""
+    DF-ordered prefix explode (map_batches, broadcast DF table) →
+    groupby(gram) posting lists → candidate pairs with size filter →
+    pair-distinct groupby → exact verification against the re-read
+    candidate docs. Exact ⇒ carries a full SQL oracle
+    (NGRAM_JACCARD_SQL)."""
     import math
+
+    import ray
 
     docs = table(sf_dir, "documents", columns=["doc_id", "text"])
     t = threshold
+    df_handle = ray.put(_sample_gram_df(sf_dir, shingle_k))
 
-    def prefix_rows(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_numpy(zero_copy_only=False)
-        grams_out, ids_out, m_out = [], [], []
-        for i, text in enumerate(b["text"].to_pylist()):
-            h = _shingle_hashes(text, shingle_k)
-            m = h.size
-            if m == 0:
-                continue
-            p = m - math.ceil(t * m) + 1  # prefix length for threshold t
-            grams_out.append(h[:p])
-            ids_out.append(np.full(p, ids[i], np.int64))
-            m_out.append(np.full(p, m, np.int32))
-        if not grams_out:
+    class PrefixRows:
+        def __init__(self, h):
+            self.df_keys, self.df_vals = ray.get(h)
+
+        def _ordered(self, h: np.ndarray) -> np.ndarray:
+            idx = np.searchsorted(self.df_keys, h)
+            idx = np.minimum(idx, max(len(self.df_keys) - 1, 0))
+            df = np.ones(h.size, dtype=np.int32)
+            if len(self.df_keys):
+                hit = self.df_keys[idx] == h
+                df[hit] = self.df_vals[idx[hit]]
+            return h[np.lexsort((h, df))]  # rare first, hash tiebreak
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            grams_out, ids_out, m_out = [], [], []
+            for i, text in enumerate(b["text"].to_pylist()):
+                h = _shingle_hashes(text, shingle_k)
+                m = h.size
+                if m == 0:
+                    continue
+                p = m - math.ceil(t * m) + 1  # prefix length for threshold t
+                grams_out.append(self._ordered(h)[:p])
+                ids_out.append(np.full(p, ids[i], np.int64))
+                m_out.append(np.full(p, m, np.int32))
+            if not grams_out:
+                return pa.Table.from_pydict({
+                    "gram": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64()),
+                    "m": pa.array([], pa.int32())})
             return pa.Table.from_pydict({
-                "gram": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64()),
-                "m": pa.array([], pa.int32())})
-        return pa.Table.from_pydict({
-            "gram": pa.array(np.concatenate(grams_out).view(np.int64)),
-            "doc_id": pa.array(np.concatenate(ids_out)),
-            "m": pa.array(np.concatenate(m_out)),
-        })
+                "gram": pa.array(np.concatenate(grams_out).view(np.int64)),
+                "doc_id": pa.array(np.concatenate(ids_out)),
+                "m": pa.array(np.concatenate(m_out)),
+            })
+
+    prefix_rows = PrefixRows  # actor-pool stage; DF table fetched once per actor
 
     def posting_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates("doc_id")
@@ -310,7 +360,9 @@ def doc_ngram_jaccard_near_dups(sf_dir: str, threshold: float = 0.5,
     from tag_ray.functions.grouping import coarse_grouped_apply
 
     cand = (coarse_grouped_apply(
-                docs.map_batches(prefix_rows, batch_format="pyarrow"),
+                docs.map_batches(prefix_rows, fn_constructor_kwargs={"h": df_handle},
+                                 batch_format="pyarrow",
+                                 concurrency=scale_concurrency(None)),
                 ["gram"], posting_pairs)
             .groupby(["doc_id_a", "doc_id_b"]).aggregate(Count(alias_name="n"))
             .to_pandas())
@@ -338,7 +390,7 @@ def doc_ngram_jaccard_near_dups(sf_dir: str, threshold: float = 0.5,
         .astype({"doc_id_a": "int64", "doc_id_b": "int64"})
 
 
-def ngram_jaccard_sql(threshold: float = 0.5, k: int = 3) -> str:
+def ngram_jaccard_sql(threshold: float = 0.7, k: int = 3) -> str:
     """Exact word-k-gram Jaccard all-pairs (oracle; k=3 fixed in SQL)."""
     assert k == 3
     return f"""
