@@ -66,11 +66,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = DR.feature_drift(V.read_images(c + "/images"))
         return out[["partition_id", "feature", "n", "drifted"]]
 
+    def img_column_stats(sf_dir: str):
+        from tag_ray.stages.stats import column_stats
+
+        c = _image_corpus(sf_dir)
+        ds = V.read_images(c + "/images", columns=["w", "h", "phash", "partition_id"],
+                           num_blocks=V.keycol_num_blocks())
+        out = column_stats(ds, ["w", "h", "phash"], key_column="partition_id")
+        return out.drop_columns(["sketch"])
+
     return {
         # --- image+caption table (input_hint; non-SQL → rows-only check) ---
         "img_validate": img_validate,
         "img_partition_status": img_partition_status,
         "img_drift": img_drift,
+        "img_column_stats": img_column_stats,
         # --- relational operator surface (oracle-checked) ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_revenue_topk": R.q3_revenue_topk,

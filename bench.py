@@ -38,6 +38,8 @@ HEADLINE = [
     "doc_token_stats",       # text analysis (token counting / quality)
     "doc_minhash_near_dups", # MinHash+LSH near-dup shuffle
     "emb_cosine_topk",       # brute-force ANN over embeddings
+    "emb_ivf_topk",          # IVF approximate ANN (scale path)
+    "events_sliding",        # sliding-window aggregate
     "stats_lineitem_global", # mergeable sketches (Welford/t-digest/HLL)
 ]
 
