@@ -215,16 +215,25 @@ def validate(images_path: str, ref_path: str | None = None,
 
     ``partitions`` restricts the sweep (resume path). NOTE: dup/near-dup
     checks then only see those partitions — cross-shard duplicates are
-    caught by the job's final full-table pass over pruned key columns."""
+    caught by the job's final full-table pass over pruned key columns.
+
+    The three families execute SEQUENTIALLY (each materialized — outputs
+    are violation rows, small by design) rather than as one 3-branch
+    union topology: a fixed actor pool plus two concurrent all-to-all
+    ops in a single streaming execution can starve each other on small
+    clusters (observed wedging at 8 CPUs), and sequential branches give
+    each stage the whole cluster — the same structure the shard-looped
+    job runner uses."""
     ref = load_ref_table(ref_path) if ref_path else None
     nb = keycol_num_blocks()
-    v_rows = row_violations(read_images(images_path, partitions=partitions), cfg, ref)
+    v_rows = row_violations(
+        read_images(images_path, partitions=partitions), cfg, ref).materialize()
     v_dup = dup_violations(
         read_images(images_path, columns=["image_id", "partition_id"],
-                    partitions=partitions, num_blocks=nb))
+                    partitions=partitions, num_blocks=nb)).materialize()
     v_near = near_dup_violations(
         read_images(images_path, columns=["image_id", "phash", "partition_id"],
-                    partitions=partitions, num_blocks=nb), cfg)
+                    partitions=partitions, num_blocks=nb), cfg).materialize()
     return v_rows.union(v_dup).union(v_near)
 
 
