@@ -107,6 +107,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_quality": T.doc_lang_quality,
         "doc_langid": T.doc_langid_heuristic,
         "doc_sample_hash": T.doc_sample_hash,
+        "doc_token_counts_regex": T.doc_token_counts_regex,
+        "doc_winnow_pairs": T.doc_winnow_fingerprint_pairs,
         # --- dedup family ---
         "doc_exact_dup_groups": D.doc_exact_dup_groups,
         "doc_minhash_near_dups": D.doc_minhash_near_dups,
@@ -153,6 +155,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_word_topk": T.WORD_TOPK_SQL,
         "doc_lang_quality": T.LANG_QUALITY_SQL,
         "doc_sample_hash": T.SAMPLE_HASH_SQL,
+        "doc_token_counts_regex": T.TOKEN_REGEX_SQL,
         "doc_exact_dup_groups": D.EXACT_DUP_SQL,
         "doc_ngram_jaccard_near_dups": D.ngram_jaccard_sql(),
         "emb_near_pairs": D.emb_near_pairs_sql(),

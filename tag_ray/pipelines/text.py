@@ -194,3 +194,136 @@ def doc_langid_heuristic(sf_dir: str) -> rd.Dataset:
         })
 
     return docs.map_batches(detect, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish regex token counting (task brief: "whitespace + a BPE-ish regex")
+
+
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"  # RE2-compatible: identical
+# semantics in Python re and DuckDB regexp_extract_all (verified), so the
+# count is exactly oracle-checkable.
+
+
+def doc_token_counts_regex(sf_dir: str) -> rd.Dataset:
+    """Sub-word-style token counts: alpha runs, digit runs, single
+    punctuation — the pre-tokenization split BPE vocabularies start
+    from. Compiled once per actor; vectorized only per-row (regex)."""
+    import re
+
+    docs = table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    class Tokenize:
+        def __init__(self):
+            self.rx = re.compile(TOKEN_REGEX)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            texts = b["text"].to_pylist()
+            counts = np.fromiter((len(self.rx.findall(t or "")) for t in texts),
+                                 dtype=np.int64, count=len(texts))
+            return pa.Table.from_pydict({
+                "doc_id": b["doc_id"],
+                "n_bpe_tokens": pa.array(counts),
+            })
+
+    from tag_ray.config import scale_concurrency
+    return docs.map_batches(Tokenize, batch_format="pyarrow",
+                            concurrency=scale_concurrency(None))
+
+
+TOKEN_REGEX_SQL = f"""
+SELECT doc_id, len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS n_bpe_tokens
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (rolling hash; Schleimer et al. MOSS algorithm)
+
+
+def winnow(text: str, k: int = 5, window: int = 4) -> np.ndarray:
+    """Distinct winnowed fingerprints of char-k-gram rolling hashes.
+
+    Guarantee: every run of ``window`` consecutive k-grams contributes at
+    least one selected fingerprint (rightmost-min rule), so any shared
+    substring of length >= k + window - 1 between two docs yields a
+    shared fingerprint — the document-fingerprinting primitive for
+    substring-level duplicate detection."""
+    n = len(text)
+    if n < k:
+        return np.empty(0, np.uint64)
+    b = np.frombuffer(text.encode("utf-8", "surrogatepass"), dtype=np.uint8)
+    if b.size < k:
+        return np.empty(0, np.uint64)
+    # polynomial rolling hash over bytes, vectorized via cumulative trick
+    base = np.uint64(1099511628211)
+    powers = np.empty(k, dtype=np.uint64)
+    powers[0] = 1
+    with np.errstate(over="ignore"):
+        for i in range(1, k):
+            powers[i] = powers[i - 1] * base
+        m = b.size - k + 1
+        h = np.zeros(m, dtype=np.uint64)
+        for j in range(k):  # k is tiny (5); the m-length ops are vectorized
+            h = h + b[j:j + m].astype(np.uint64) * powers[k - 1 - j]
+    from tag_ray.functions.sketches import _mix64
+    h = _mix64(h)
+    if m <= window:
+        return np.unique(h[[int(np.argmin(h))]])
+    # rightmost minimum per sliding window
+    from numpy.lib.stride_tricks import sliding_window_view
+    wins = sliding_window_view(h, window)
+    rev_arg = window - 1 - np.argmin(wins[:, ::-1], axis=1)  # rightmost min
+    picks = rev_arg + np.arange(wins.shape[0])
+    return np.unique(h[np.unique(picks)])
+
+
+def doc_winnow_fingerprint_pairs(sf_dir: str, min_shared: int = 10,
+                                 k: int = 12, window: int = 8,
+                                 max_df: int = 20) -> pd.DataFrame:
+    """Doc pairs sharing >= ``min_shared`` winnowed fingerprints —
+    substring-level near-dup detection (catches copied passages exact
+    Jaccard misses). explode (fingerprint, doc) → posting-list pairs via
+    coarse grouping → pair count filter.
+
+    ``max_df``: fingerprints appearing in more than this many docs are
+    boilerplate (common phrases) and are EXCLUDED before pairing — the
+    same frequency cutoff MOSS applies; without it one ubiquitous
+    substring pairs the whole corpus quadratically."""
+    import ray.data as rd
+
+    from tag_ray.functions.grouping import coarse_grouped_apply
+    from ray.data.aggregate import Count
+
+    docs = table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        fps_out, ids_out = [], []
+        for i, t in enumerate(b["text"].to_pylist()):
+            fps = winnow(t or "", k, window)
+            fps_out.append(fps.view(np.int64))
+            ids_out.append(np.full(fps.size, ids[i], np.int64))
+        if not fps_out:
+            return pa.Table.from_pydict({"fp": pa.array([], pa.int64()),
+                                         "doc_id": pa.array([], pa.int64())})
+        return pa.Table.from_pydict({
+            "fp": pa.array(np.concatenate(fps_out)),
+            "doc_id": pa.array(np.concatenate(ids_out))})
+
+    def posting_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g["doc_id"].to_numpy())
+        if ids.size < 2 or ids.size > max_df:  # boilerplate cutoff
+            return pd.DataFrame({"doc_id_a": [], "doc_id_b": []})
+        a, b = np.triu_indices(ids.size, k=1)
+        return pd.DataFrame({"doc_id_a": ids[a], "doc_id_b": ids[b]})
+
+    shared = (coarse_grouped_apply(
+                  docs.map_batches(explode, batch_format="pyarrow"),
+                  ["fp"], posting_pairs)
+              .groupby(["doc_id_a", "doc_id_b"])
+              .aggregate(Count(alias_name="n_shared")).to_pandas())
+    out = shared[shared["n_shared"] >= min_shared] \
+        .sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
+    return out.astype({"doc_id_a": "int64", "doc_id_b": "int64",
+                       "n_shared": "int64"})
