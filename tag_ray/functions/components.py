@@ -21,14 +21,51 @@ import ray.data as rd
 from ray.data.aggregate import Min, Sum
 
 
+def union_find(pairs) -> dict[int, int]:
+    """Driver-side union-find with min-id canonical labels."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in list(parent)}
+
+
 def connected_components(edges: rd.Dataset, a: str, b: str,
-                         max_rounds: int = 25) -> rd.Dataset:
+                         max_rounds: int = 25,
+                         small_threshold: int = 1_000_000) -> rd.Dataset:
     """(a, b) edge Dataset → (node, component) with component = min node
-    id reachable; isolated nodes absent from edges are absent here."""
+    id reachable; isolated nodes absent from edges are absent here.
+
+    Adaptive execution (the broadcast-join principle applied to graphs):
+    a verified near-dup edge list is usually tiny relative to the table,
+    so below ``small_threshold`` edges the transitive closure runs as
+    driver-side union-find — exact same result, none of the per-round
+    join fixed costs. The iterative distributed path takes over above
+    the threshold."""
     e = edges.map_batches(
         lambda t: pa.Table.from_pydict(
             {"src": t[a].cast(pa.int64()), "dst": t[b].cast(pa.int64())}),
         batch_format="pyarrow").materialize()
+
+    if e.count() <= small_threshold:
+        tbl = pa.concat_tables(
+            [pa.Table.from_pydict(batch) if isinstance(batch, dict) else batch
+             for batch in e.iter_batches(batch_format="pyarrow", batch_size=None)]
+        ) if e.count() else pa.Table.from_pydict(
+            {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+        labels_map = union_find(zip(tbl["src"].to_pylist(), tbl["dst"].to_pylist()))
+        nodes = sorted(labels_map)
+        return rd.from_arrow(pa.Table.from_pydict({
+            "node": pa.array(nodes, pa.int64()),
+            "component": pa.array([labels_map[n] for n in nodes], pa.int64())}))
 
     nodes = (
         e.map_batches(

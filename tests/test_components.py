@@ -39,9 +39,12 @@ def test_components_match_union_find(ray_session):
     ds = rd.from_arrow(pa.Table.from_pydict({
         "a": np.array([e[0] for e in edges], np.int64),
         "b": np.array([e[1] for e in edges], np.int64)}))
-    got = connected_components(ds, "a", "b").to_pandas()
-    got_map = dict(zip(got["node"], got["component"]))
-    assert got_map == ref
+    # small path (union-find) and distributed path (forced via threshold=0)
+    for thresh in (1_000_000, 0):
+        got = connected_components(ds, "a", "b",
+                                   small_threshold=thresh).to_pandas()
+        got_map = dict(zip(got["node"], got["component"]))
+        assert got_map == ref, f"threshold={thresh}"
 
 
 def test_clusters_query_small(ray_session):
