@@ -109,6 +109,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample_hash": T.doc_sample_hash,
         "doc_token_counts_regex": T.doc_token_counts_regex,
         "doc_winnow_pairs": T.doc_winnow_fingerprint_pairs,
+        "doc_split_assign": T.doc_split_assign,
+        "doc_null_report": T.doc_null_report,
         # --- dedup family ---
         "doc_exact_dup_groups": D.doc_exact_dup_groups,
         "doc_minhash_near_dups": D.doc_minhash_near_dups,
@@ -156,6 +158,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_quality": T.LANG_QUALITY_SQL,
         "doc_sample_hash": T.SAMPLE_HASH_SQL,
         "doc_token_counts_regex": T.TOKEN_REGEX_SQL,
+        "doc_split_assign": T.SPLIT_ASSIGN_SQL,
+        "doc_null_report": T.NULL_REPORT_SQL,
         "doc_exact_dup_groups": D.EXACT_DUP_SQL,
         "doc_ngram_jaccard_near_dups": D.ngram_jaccard_sql(),
         "emb_near_pairs": D.emb_near_pairs_sql(),

@@ -327,3 +327,72 @@ def doc_winnow_fingerprint_pairs(sf_dir: str, min_shared: int = 10,
         .sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
     return out.astype({"doc_id_a": "int64", "doc_id_b": "int64",
                        "n_shared": "int64"})
+
+
+# ---------------------------------------------------------------------------
+# deterministic train/val/test split (stratification audit included)
+
+
+def doc_split_assign(sf_dir: str) -> rd.Dataset:
+    """Key-hash split assignment (≈10% val / ≈10% test / rest train),
+    with per-(lang, split) counts as the stratification audit. Stable
+    across runs and engines — the split a resumable training pipeline
+    needs (same md5-prefix device as doc_sample_hash)."""
+    docs = table(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def assign(b: pa.Table) -> pa.Table:
+        hexes = [hashlib.md5(str(d).encode()).hexdigest()[:2]
+                 for d in b["doc_id"].to_pylist()]
+        split = ["val" if h < "1a" else "test" if h < "34" else "train"
+                 for h in hexes]
+        return pa.Table.from_pydict({
+            "lang": b["lang"], "split": pa.array(split, pa.string())})
+
+    return (docs.map_batches(assign, batch_format="pyarrow")
+            .groupby(["lang", "split"]).aggregate(Count(alias_name="n")))
+
+
+SPLIT_ASSIGN_SQL = """
+SELECT lang,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'val'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '34' THEN 'test'
+            ELSE 'train' END AS split,
+       COUNT(*) AS n
+FROM documents GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# schema/null audit (declared-schema check surface over an arbitrary table)
+
+
+def doc_null_report(sf_dir: str) -> rd.Dataset:
+    """Per-column null audit as one summary row — the table-level
+    completeness check every validation suite starts with. Per-batch
+    partial counts → single global merge (no wide shuffle)."""
+    import pyarrow.compute as pc
+
+    docs = table(sf_dir, "documents")
+
+    def partials(b: pa.Table) -> pa.Table:
+        row = {"rows": [b.num_rows]}
+        for c in ("doc_id", "text", "lang", "source", "n_chars"):
+            row[f"null_{c}"] = [int(pc.sum(pc.is_null(b[c]).cast(pa.int64())).as_py() or 0)]
+        return pa.Table.from_pydict(row)
+
+    agg = docs.map_batches(partials, batch_format="pyarrow").sum(
+        ["rows"] + [f"null_{c}" for c in ("doc_id", "text", "lang", "source", "n_chars")])
+
+    return rd.from_items([{k.replace("sum(", "").replace(")", ""): v
+                           for k, v in agg.items()}])
+
+
+NULL_REPORT_SQL = """
+SELECT COUNT(*) AS rows,
+       COUNT(*) - COUNT(doc_id) AS null_doc_id,
+       COUNT(*) - COUNT(text) AS null_text,
+       COUNT(*) - COUNT(lang) AS null_lang,
+       COUNT(*) - COUNT(source) AS null_source,
+       COUNT(*) - COUNT(n_chars) AS null_n_chars
+FROM documents
+"""
