@@ -32,6 +32,12 @@ class EngineConfig:
     # pipeline-construction time (scale_concurrency below); a fixed cap
     # here would silently serialize the decode stage on bigger clusters.
     validate_concurrency: int | tuple[int, int] | None = None
+    # memory sizing for the decode actors: batch_size × peak decoded
+    # pixels must fit each actor's heap share. Sandbox images are KB-
+    # scale → 1 CPU/actor; production MB-scale rows should raise
+    # num_cpus (fewer, fatter actors) or shrink validate_batch_size.
+    validate_actor_num_cpus: float = 1.0
+    validate_actor_memory: int | None = None  # bytes; Ray memory resource hint
     stats_batch_size: int = 4096
     stats_concurrency: int | tuple[int, int] | None = None
 

@@ -81,6 +81,9 @@ def row_violations(images: rd.Dataset, cfg: EngineConfig = DEFAULT_CONFIG,
         # parallel, instead of serially on the driver per run
         kwargs["ref_handle"] = ray.put(
             ref_table.select(["image_id", "caption_md5"]))
+    remote_args = {"num_cpus": cfg.validate_actor_num_cpus}
+    if cfg.validate_actor_memory is not None:
+        remote_args["memory"] = cfg.validate_actor_memory
     return images.map_batches(
         RowValidator,
         fn_constructor_kwargs=kwargs,
@@ -88,6 +91,7 @@ def row_violations(images: rd.Dataset, cfg: EngineConfig = DEFAULT_CONFIG,
         batch_size=cfg.validate_batch_size,
         zero_copy_batch=True,
         concurrency=scale_concurrency(cfg.validate_concurrency, fixed_frac=0.75),
+        **remote_args,
     )
 
 
