@@ -47,12 +47,24 @@ def salted_aggregate(ds: rd.Dataset, key: str,
         if kind not in ("count", "sum", "min", "max", "mean"):
             raise ValueError(f"unsupported aggregate kind: {kind}")
 
+    mean_cols = [(col, alias) for kind, col, alias in specs if kind == "mean"]
+
     def add_salt(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         if salt_source is not None:
             salt = bucket_of(b[salt_source], salt_buckets)
         else:
             salt = (np.arange(b.num_rows) % salt_buckets).astype(np.int32)
-        return b.append_column(SALT_COL, pa.array(salt))
+        b = b.append_column(SALT_COL, pa.array(salt))
+        # mean = Sum(col)/Count(non-null col): Sum ignores nulls, so the
+        # denominator must too — a per-row validity indicator summed in
+        # phase 1 keeps salted mean exactly equal to the plain groupby
+        # mean even with null values (ADVICE r1).
+        for col, alias in mean_cols:
+            b = b.append_column(
+                f"{alias}__valid", pc.is_valid(b[col]).cast(pa.int64()))
+        return b
 
     phase1_aggs = []
     for kind, col, alias in specs:
@@ -66,7 +78,7 @@ def salted_aggregate(ds: rd.Dataset, key: str,
             phase1_aggs.append(Max(col, alias_name=f"{alias}__max"))
         elif kind == "mean":
             phase1_aggs.append(Sum(col, alias_name=f"{alias}__msum"))
-            phase1_aggs.append(Count(alias_name=f"{alias}__mcnt"))
+            phase1_aggs.append(Sum(f"{alias}__valid", alias_name=f"{alias}__mcnt"))
 
     partial = ds.map_batches(add_salt, batch_format="pyarrow") \
         .groupby([key, SALT_COL]).aggregate(*phase1_aggs)
@@ -94,8 +106,9 @@ def salted_aggregate(ds: rd.Dataset, key: str,
 
     def finalize(b: pa.Table) -> pa.Table:
         for alias, s, c in mean_aliases:
-            vals = b[s].to_numpy(zero_copy_only=False) \
-                / b[c].to_numpy(zero_copy_only=False)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                vals = b[s].to_numpy(zero_copy_only=False) \
+                    / b[c].to_numpy(zero_copy_only=False)
             b = b.append_column(alias, pa.array(vals))
             b = b.drop_columns([s, c])
         return b

@@ -33,6 +33,7 @@ import argparse
 import hashlib
 import json
 import os
+import shutil
 import time
 
 import pyarrow as pa
@@ -69,6 +70,10 @@ def run_shard(images_path: str, ref_path: str | None, out_dir: str,
               cfg: EngineConfig) -> None:
     t0 = time.perf_counter()
     shard_dir = os.path.join(out_dir, "violations", f"shard={shard_idx}")
+    # A crash between a shard's writes and its lineage record reruns the
+    # shard on resume; clear any partial output first so write_parquet's
+    # append mode can never double the shard's rows (ADVICE r1).
+    shutil.rmtree(shard_dir, ignore_errors=True)
 
     images = V.read_images(images_path, partitions=partitions)
     ref = V.load_ref_table(ref_path) if ref_path else None
@@ -82,6 +87,7 @@ def run_shard(images_path: str, ref_path: str | None, out_dir: str,
         SKETCH_COLUMNS, key_column="partition_id",
         batch_size=cfg.stats_batch_size, concurrency=scale_concurrency(cfg.stats_concurrency))
     sk_dir = os.path.join(out_dir, "sketches", f"shard={shard_idx}")
+    shutil.rmtree(sk_dir, ignore_errors=True)
     sk.write_parquet(sk_dir)
 
     # per-partition metrics for lineage
@@ -112,7 +118,9 @@ def run_global_checks(images_path: str, out_dir: str, cfg: EngineConfig) -> int:
                       num_blocks=nb),
         cfg)
     both = v_dup.union(v_near).materialize()
-    both.write_parquet(os.path.join(out_dir, "violations", "global"))
+    gdir = os.path.join(out_dir, "violations", "global")
+    shutil.rmtree(gdir, ignore_errors=True)  # finalize-crash rerun safety
+    both.write_parquet(gdir)
     return both.count()
 
 
@@ -129,7 +137,9 @@ def merge_sketches(out_dir: str) -> None:
     ds = rd.read_parquet(shards)
     merged = ds.groupby(["key", "column"]).map_groups(
         merge_partials_group, batch_format="pandas")
-    merged.write_parquet(os.path.join(sk_root, "merged"))
+    mdir = os.path.join(sk_root, "merged")
+    shutil.rmtree(mdir, ignore_errors=True)  # recomputed from partials, never appended
+    merged.write_parquet(mdir)
 
 
 def main(argv: list[str] | None = None) -> dict:
@@ -159,11 +169,20 @@ def main(argv: list[str] | None = None) -> dict:
 
     summary: dict = {"resumed_partitions": len(done),
                      "processed_partitions": sum(len(s) for s in shards)}
+    summary_path = os.path.join(args.out, "_SUMMARY.json")
     if len(store.done_partitions()) == len(all_parts):
-        summary["global_violations"] = run_global_checks(args.images, args.out, cfg)
-        merge_sketches(args.out)
-        write_report(args.out)
-        summary = store.write_summary(summary)
+        if os.path.exists(summary_path) and not shards:
+            # already finalized and nothing reprocessed: idempotent no-op
+            # (rerunning the finalize would recompute identical artifacts
+            # for nothing; ADVICE r1 resume-idempotence)
+            with open(summary_path) as f:
+                summary = {**json.load(f), **summary}
+        else:
+            summary["global_violations"] = run_global_checks(
+                args.images, args.out, cfg)
+            merge_sketches(args.out)
+            write_report(args.out)
+            summary = store.write_summary(summary)
     print(json.dumps(summary))
     return summary
 

@@ -25,6 +25,7 @@ from ray.data.aggregate import Count, Min, Sum
 
 from tag_ray.codecs.phash import hamming64, phash_bands
 from tag_ray.functions.hashing import hash_strings64
+from tag_ray.functions.rounding import round_half_away
 from tag_ray.config import scale_concurrency
 from tag_ray.sources import table
 
@@ -320,7 +321,7 @@ def doc_ngram_jaccard_near_dups(sf_dir: str, threshold: float = 0.7,
             ids = b["doc_id"].to_numpy(zero_copy_only=False)
             grams_out, ids_out, m_out = [], [], []
             for i, text in enumerate(b["text"].to_pylist()):
-                h = _shingle_hashes(text, shingle_k)
+                h = _shingle_hashes(text or "", shingle_k)
                 m = h.size
                 if m == 0:
                     continue
@@ -547,7 +548,7 @@ def emb_near_pairs(sf_dir: str, threshold: float = 0.45) -> pd.DataFrame:
             norms = np.sqrt((m * m).sum(axis=1))
             m = m / np.where(norms == 0, 1.0, norms)[:, None]
             ids = b["vec_id"].to_numpy(zero_copy_only=False)
-            cos = np.round(m @ self.m.T, 4)
+            cos = round_half_away(m @ self.m.T, 4)
             ii, jj = np.nonzero(cos >= self.thr)
             keep = ids[ii] < self.ids[jj]  # each unordered pair exactly once
             return pa.Table.from_pydict({

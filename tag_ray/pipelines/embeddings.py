@@ -18,6 +18,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Mean
 
 from tag_ray.config import scale_concurrency
+from tag_ray.functions.rounding import round_half_away
 from tag_ray.sources import table
 
 
@@ -38,7 +39,7 @@ def emb_norms(sf_dir: str) -> rd.Dataset:
         m = _emb_matrix(b)
         return pa.Table.from_pydict({
             "vec_id": b["vec_id"],
-            "norm": pa.array(np.round(np.sqrt((m * m).sum(axis=1)), 4)),
+            "norm": pa.array(round_half_away(np.sqrt((m * m).sum(axis=1)), 4)),
         })
 
     return emb.map_batches(derive, batch_format="pyarrow")
@@ -68,7 +69,7 @@ def emb_label_stats(sf_dir: str) -> rd.Dataset:
     def finalize(b: pa.Table) -> pa.Table:
         return pa.Table.from_pydict({
             "label": b["label"], "n": b["n"],
-            "avg_norm": pa.array(np.round(
+            "avg_norm": pa.array(round_half_away(
                 b["avg_norm_raw"].to_numpy(zero_copy_only=False), 4)),
         })
 
@@ -108,7 +109,7 @@ def emb_cosine_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> pd.DataF
             m = _emb_matrix(b)
             norms = np.sqrt((m * m).sum(axis=1))
             cos = (m @ self.q) / np.where(norms == 0, 1.0, norms)
-            cos_r = np.round(cos, 4)
+            cos_r = round_half_away(cos, 4)
             ids = b["vec_id"].to_numpy(zero_copy_only=False)
             keep = ids != self.exclude
             order = np.lexsort((ids[keep], -cos_r[keep]))[: self.k]
@@ -186,7 +187,7 @@ def emb_ivf_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10,
             ids = b["vec_id"].to_numpy(zero_copy_only=False)
             keep = np.array([bk in self.probe for bk in bucket]) \
                 & (ids != self.exclude)
-            cos_r = np.round(mn[keep] @ self.q, 4)
+            cos_r = round_half_away(mn[keep] @ self.q, 4)
             order = np.lexsort((ids[keep], -cos_r))[: self.k]
             return pa.Table.from_pydict({
                 "vec_id": pa.array(ids[keep][order]),

@@ -6,9 +6,12 @@ windowing — each with an exact DuckDB oracle (__ray_entry__.oracle_sql).
 
 Precision discipline for oracle parity: per-row arithmetic on float64 is
 bit-identical between engines, but SUMS of floats depend on addition
-order. Money aggregates therefore go through integer cents
-(rint(x*100) per row → int64 sum → /100.0), making every reported sum
+order. Money aggregates therefore go through integer cents (half-away
+round(x*100) per row → int64 sum → /100.0), making every reported sum
 exact; averages of small-magnitude values are rounded to 4 decimals.
+All rounding is half-away-from-zero (functions/rounding.py) to match
+DuckDB ROUND — np.rint/np.round are half-even and diverge on boundary
+values (round-1 hash mismatches on q1/q5/events_hourly/stats_global).
 """
 
 from __future__ import annotations
@@ -23,14 +26,13 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from tag_ray.config import scale_concurrency
+from tag_ray.functions.rounding import round_half_away, to_cents
 from tag_ray.sources import table
 
 _US_PER_HOUR = 3_600_000_000
 SESSION_GAP_US = 1_800_000_000  # 30 min
 
-
-def _cents(x: np.ndarray) -> np.ndarray:
-    return np.rint(x * 100.0).astype(np.int64)
+_cents = to_cents
 
 
 # ---------------------------------------------------------------------------
@@ -77,11 +79,11 @@ def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
             "sum_base_price": pa.array(b["sum_price_c"].to_numpy(zero_copy_only=False) / 100.0),
             "sum_disc_price": pa.array(b["sum_disc_price_c"].to_numpy(zero_copy_only=False) / 100.0),
             "sum_charge": pa.array(b["sum_charge_c"].to_numpy(zero_copy_only=False) / 100.0),
-            "avg_qty": pa.array(np.round(
+            "avg_qty": pa.array(round_half_away(
                 b["sum_qty_c"].to_numpy(zero_copy_only=False) / 100.0 / n, 4)),
-            "avg_price": pa.array(np.round(
+            "avg_price": pa.array(round_half_away(
                 b["sum_price_c"].to_numpy(zero_copy_only=False) / 100.0 / n, 4)),
-            "avg_disc": pa.array(np.round(
+            "avg_disc": pa.array(round_half_away(
                 b["avg_disc_raw"].to_numpy(zero_copy_only=False), 4)),
             "count_order": b["count_order"],
         })
@@ -354,18 +356,23 @@ def events_hourly(sf_dir: str) -> rd.Dataset:
         return pa.Table.from_pydict({
             "event_type": b["event_type"],
             "hour": pa.array(us // _US_PER_HOUR),
-            "value": b["value"],
+            # integer cents: a float AVG differs from the oracle's in
+            # the last ulp (addition order) and can round differently at
+            # 4 decimals — int64 sums are order-independent, so both
+            # engines compute the identical average.
+            "value_c": pa.array(_cents(b["value"].to_numpy(zero_copy_only=False))),
         })
 
     agg = (ev.map_batches(derive, batch_format="pyarrow")
            .groupby(["event_type", "hour"])
-           .aggregate(Count(alias_name="n"), Mean("value", alias_name="avg_value_raw")))
+           .aggregate(Count(alias_name="n"), Sum("value_c", alias_name="sum_c")))
 
     def finalize(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False)
+        s = b["sum_c"].to_numpy(zero_copy_only=False)
         return pa.Table.from_pydict({
             "event_type": b["event_type"], "hour": b["hour"], "n": b["n"],
-            "avg_value": pa.array(np.round(
-                b["avg_value_raw"].to_numpy(zero_copy_only=False), 4)),
+            "avg_value": pa.array(round_half_away(s / n / 100.0, 4)),
         })
 
     return agg.map_batches(finalize, batch_format="pyarrow")
@@ -398,7 +405,7 @@ def events_type_stats(sf_dir: str) -> rd.Dataset:
         return pa.Table.from_pydict({
             "event_type": b["event_type"], "n": b["n"],
             "sum_value": pa.array(s / 100.0),
-            "avg_value": pa.array(np.round(s / n / 100.0, 4)),
+            "avg_value": pa.array(round_half_away(s / n / 100.0, 4)),
             "min_value": pa.array(b["min_c"].to_numpy(zero_copy_only=False) / 100.0),
             "max_value": pa.array(b["max_c"].to_numpy(zero_copy_only=False) / 100.0),
         })
@@ -480,7 +487,7 @@ EVENTS_HOURLY_SQL = """
 SELECT event_type,
        CAST(floor(epoch_us(ts)/3600000000.0) AS BIGINT) AS hour,
        COUNT(*) AS n,
-       ROUND(AVG(value), 4) AS avg_value
+       ROUND(SUM(CAST(round(value*100) AS BIGINT))/COUNT(*)/100.0, 4) AS avg_value
 FROM events GROUP BY 1, 2
 """
 
@@ -547,11 +554,11 @@ def stats_lineitem_global(sf_dir: str) -> pd.DataFrame:
     )
     return pd.DataFrame([{
         "n": int(res["n"]),
-        "avg_qty": round(res["avg_qty"], 4),
+        "avg_qty": float(round_half_away(res["avg_qty"], 4)),
         "min_qty": res["min_qty"],
         "max_qty": res["max_qty"],
-        "std_qty": round(res["std_qty"], 4),
-        "avg_price": round(res["avg_price"], 4),
+        "std_qty": float(round_half_away(res["std_qty"], 4)),
+        "avg_price": float(round_half_away(res["avg_price"], 4)),
     }])
 
 

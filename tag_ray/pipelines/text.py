@@ -18,6 +18,7 @@ import pyarrow as pa
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
+from tag_ray.functions.rounding import round_half_away
 from tag_ray.sources import table
 
 
@@ -142,7 +143,7 @@ def doc_lang_quality(sf_dir: str) -> rd.Dataset:
     def finalize(b: pa.Table) -> pa.Table:
         return pa.Table.from_pydict({
             "lang": b["lang"], "n": b["n"],
-            "avg_chars": pa.array(np.round(
+            "avg_chars": pa.array(round_half_away(
                 b["avg_chars_raw"].to_numpy(zero_copy_only=False), 4)),
             "min_chars": b["min_chars"], "max_chars": b["max_chars"],
         })
