@@ -86,3 +86,16 @@ def scale_concurrency(configured: int | tuple[int, int] | None,
     if fixed_frac is not None:
         return max(1, int(cpus * fixed_frac))
     return (1, max(cpus - reserve, 1))
+
+
+def join_num_partitions(factor: float = 0.5, floor: int = 8) -> int:
+    """Partition count for ``Dataset.join`` / hash-exchange operators.
+
+    ~CPUs/2, same rationale as ``keycol_num_blocks``: join task count
+    must scale with the cluster, not sit at a hardcoded 8 — on a
+    256-node cluster 8 partitions would serialize the exchange, while
+    thousands on a laptop would be pure orchestration overhead."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return max(floor, int(cpus * factor))

@@ -20,6 +20,8 @@ import pyarrow as pa
 import ray.data as rd
 from ray.data.aggregate import Min, Sum
 
+from tag_ray.config import join_num_partitions as _np_
+
 
 def union_find(pairs) -> dict[int, int]:
     """Driver-side union-find with min-id canonical labels."""
@@ -79,10 +81,10 @@ def connected_components(edges: rd.Dataset, a: str, b: str,
     prev_sum = None
     for _ in range(max_rounds):
         # edge → min(label[src], label[dst]) for both endpoints
-        with_src = e.join(labels, "inner", num_partitions=8,
+        with_src = e.join(labels, "inner", num_partitions=_np_(),
                           on=("src",), right_on=("node",))
         with_both = with_src.rename_columns({"label": "l_src"}) \
-            .join(labels, "inner", num_partitions=8,
+            .join(labels, "inner", num_partitions=_np_(),
                   on=("dst",), right_on=("node",))
 
         def emit(t: pa.Table) -> pa.Table:
@@ -108,7 +110,7 @@ def connected_components(edges: rd.Dataset, a: str, b: str,
                 lambda t: pa.Table.from_pydict(
                     {"jnode": t["node"], "jlabel": t["label"]}),
                 batch_format="pyarrow"),
-            "inner", num_partitions=8, on=("label",), right_on=("jnode",))
+            "inner", num_partitions=_np_(), on=("label",), right_on=("jnode",))
 
         def jump(t: pa.Table) -> pa.Table:
             import numpy as np
