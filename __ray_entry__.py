@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash_near_dups": D.doc_simhash_near_dups,
         "emb_near_pairs": D.emb_near_pairs,
         "emb_lsh_buckets": D.emb_lsh_buckets,
+        "emb_lsh_near_pairs": D.emb_lsh_near_pairs,
         # --- similarity search / embedding stats (oracle-checked) ---
         "emb_norms": E.emb_norms,
         "emb_label_stats": E.emb_label_stats,

@@ -200,37 +200,50 @@ def doc_minhash_candidates(docs: rd.Dataset, num_perm: int = 128,
     return cand.groupby(["doc_id_a", "doc_id_b"]).aggregate(Count(alias_name="n_bands"))
 
 
+_EMPTY_PAIRS = {"doc_id_a": "int64", "doc_id_b": "int64",
+                "jaccard": "float64"}
+
+
+def _empty_pairs_df(cols: dict[str, str] = _EMPTY_PAIRS) -> pd.DataFrame:
+    return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
+
+
+def _verified_jaccard_pairs(docs: rd.Dataset, cand: rd.Dataset,
+                            threshold: float, shingle_k: int) -> pd.DataFrame:
+    """Distributed exact-Jaccard verification of candidate pairs
+    (functions/verify.py): candidates stay a Dataset, features are
+    recomputed in an actor pool over the semi-joined docs, pairs are
+    scored inside map_batches — nothing but the final thresholded pair
+    set (small by construction) ever reaches the driver."""
+    from tag_ray.functions.verify import verify_pairs_jaccard
+
+    # int64 keys: upstream map_groups stages can emit empty pandas blocks
+    # whose columns type as float/null — the hash join needs exact types
+    cand = cand.map_batches(
+        lambda tt: pa.Table.from_pydict({
+            "doc_id_a": tt["doc_id_a"].cast(pa.int64()),
+            "doc_id_b": tt["doc_id_b"].cast(pa.int64())}),
+        batch_format="pyarrow").materialize()
+    if cand.count() == 0:
+        return _empty_pairs_df()
+    k = shingle_k
+    out = verify_pairs_jaccard(
+        docs, cand, threshold,
+        feature_fn=lambda t: _shingle_hashes(t or "", k)).to_pandas()
+    if out.empty:
+        return _empty_pairs_df()
+    return out.sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True) \
+        .astype({"doc_id_a": "int64", "doc_id_b": "int64"})
+
+
 def doc_minhash_near_dups(sf_dir: str, jaccard_threshold: float = 0.5,
                           shingle_k: int = 3) -> pd.DataFrame:
-    """Candidates → exact-Jaccard verification → pairs ≥ threshold.
-
-    Verification re-reads only the candidate docs (filter-pushdown read);
-    at 10^12 scale this stays proportional to the candidate set, which
-    LSH keeps tiny."""
+    """Candidates → distributed exact-Jaccard verification → pairs ≥
+    threshold. Verification cost stays proportional to the candidate
+    set, which LSH keeps tiny, and runs where the data is."""
     docs = table(sf_dir, "documents", columns=["doc_id", "text"])
-    cand = doc_minhash_candidates(docs, shingle_k=shingle_k).to_pandas()
-    if cand.empty:
-        return pd.DataFrame({"doc_id_a": pd.Series([], dtype="int64"),
-                             "doc_id_b": pd.Series([], dtype="int64"),
-                             "jaccard": pd.Series([], dtype="float64")})
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-    from tag_ray.sources import table_path
-    need = np.unique(np.r_[cand.doc_id_a.to_numpy(), cand.doc_id_b.to_numpy()])
-    tbl = pq.read_table(table_path(sf_dir, "documents"), columns=["doc_id", "text"],
-                        filters=[("doc_id", "in", need.tolist())])
-    mh = MinHasher(shingle_k=shingle_k)
-    sets = {int(i): set(mh.shingles(t).tolist())
-            for i, t in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())}
-    out = []
-    for r in cand.itertuples():
-        sa, sb = sets[int(r.doc_id_a)], sets[int(r.doc_id_b)]
-        u = len(sa | sb)
-        j = len(sa & sb) / u if u else 0.0
-        if round(j, 4) >= jaccard_threshold:
-            out.append((int(r.doc_id_a), int(r.doc_id_b), round(j, 4)))
-    return pd.DataFrame(out, columns=["doc_id_a", "doc_id_b", "jaccard"]) \
-        .astype({"doc_id_a": "int64", "doc_id_b": "int64"})
+    cand = doc_minhash_candidates(docs, shingle_k=shingle_k)
+    return _verified_jaccard_pairs(docs, cand, jaccard_threshold, shingle_k)
 
 
 # ---------------------------------------------------------------------------
@@ -293,8 +306,8 @@ def doc_ngram_jaccard_near_dups(sf_dir: str, threshold: float = 0.7,
 
     DF-ordered prefix explode (map_batches, broadcast DF table) →
     groupby(gram) posting lists → candidate pairs with size filter →
-    pair-distinct groupby → exact verification against the re-read
-    candidate docs. Exact ⇒ carries a full SQL oracle
+    pair-distinct groupby → DISTRIBUTED exact verification
+    (functions/verify.py). Exact ⇒ carries a full SQL oracle
     (NGRAM_JACCARD_SQL)."""
     import math
 
@@ -342,18 +355,36 @@ def doc_ngram_jaccard_near_dups(sf_dir: str, threshold: float = 0.7,
     prefix_rows = PrefixRows  # actor-pool stage; DF table fetched once per actor
 
     def posting_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # No size cap: this path is EXACT and oracle-checked, so a hot
+        # posting list must produce every pair (ADVICE r1 — the old 10k
+        # cap silently dropped candidates). Pair generation is chunked:
+        # O(n) vectorized passes instead of one O(n²) index materialize,
+        # so a skewed gram costs time, never memory.
         g = g.drop_duplicates("doc_id")
         n = len(g)
-        if n < 2 or n > 10_000:  # skew guard: a stop-shingle posting list
+        if n < 2:
             return pd.DataFrame({"doc_id_a": [], "doc_id_b": []})
         ids = g["doc_id"].to_numpy()
         ms = g["m"].to_numpy()
-        a, b = np.triu_indices(n, k=1)
-        # size filter: J >= t impossible unless t*max(ma,mb) <= min(ma,mb)
-        lo = np.minimum(ms[a], ms[b])
-        hi = np.maximum(ms[a], ms[b])
-        keep = lo >= t * hi
-        da, db = ids[a][keep], ids[b][keep]
+        if n <= 1024:
+            a, b = np.triu_indices(n, k=1)
+            # size filter: J >= t impossible unless t*max(ma,mb) <= min
+            lo = np.minimum(ms[a], ms[b])
+            hi = np.maximum(ms[a], ms[b])
+            keep = lo >= t * hi
+            da, db = ids[a][keep], ids[b][keep]
+        else:
+            outs_a, outs_b = [], []
+            for i in range(n - 1):
+                mj = ms[i + 1:]
+                keep = np.minimum(ms[i], mj) >= t * np.maximum(ms[i], mj)
+                if keep.any():
+                    outs_b.append(ids[i + 1:][keep])
+                    outs_a.append(np.full(outs_b[-1].size, ids[i], ids.dtype))
+            if not outs_a:
+                return pd.DataFrame({"doc_id_a": [], "doc_id_b": []})
+            da = np.concatenate(outs_a)
+            db = np.concatenate(outs_b)
         swap = da > db
         return pd.DataFrame({"doc_id_a": np.where(swap, db, da),
                              "doc_id_b": np.where(swap, da, db)})
@@ -365,30 +396,8 @@ def doc_ngram_jaccard_near_dups(sf_dir: str, threshold: float = 0.7,
                                  batch_format="pyarrow",
                                  concurrency=scale_concurrency(None)),
                 ["gram"], posting_pairs)
-            .groupby(["doc_id_a", "doc_id_b"]).aggregate(Count(alias_name="n"))
-            .to_pandas())
-    if cand.empty:
-        return pd.DataFrame({"doc_id_a": pd.Series([], dtype="int64"),
-                             "doc_id_b": pd.Series([], dtype="int64"),
-                             "jaccard": pd.Series([], dtype="float64")})
-
-    import pyarrow.parquet as pq
-    from tag_ray.sources import table_path
-    need = np.unique(np.r_[cand.doc_id_a.to_numpy(), cand.doc_id_b.to_numpy()])
-    tbl = pq.read_table(table_path(sf_dir, "documents"), columns=["doc_id", "text"],
-                        filters=[("doc_id", "in", need.tolist())])
-    sets = {int(i): set(_shingle_hashes(txt, shingle_k).tolist())
-            for i, txt in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())}
-    out = []
-    for r in cand.itertuples():
-        sa, sb = sets[int(r.doc_id_a)], sets[int(r.doc_id_b)]
-        u = len(sa | sb)
-        j = round(len(sa & sb) / u, 4) if u else 0.0
-        if j >= t:
-            out.append((int(r.doc_id_a), int(r.doc_id_b), j))
-    out.sort()
-    return pd.DataFrame(out, columns=["doc_id_a", "doc_id_b", "jaccard"]) \
-        .astype({"doc_id_a": "int64", "doc_id_b": "int64"})
+            .groupby(["doc_id_a", "doc_id_b"]).aggregate(Count(alias_name="n")))
+    return _verified_jaccard_pairs(docs, cand, t, shingle_k)
 
 
 def ngram_jaccard_sql(threshold: float = 0.7, k: int = 3) -> str:
@@ -606,6 +615,82 @@ def emb_lsh_buckets(sf_dir: str, n_planes: int = 16, seed: int = 9) -> rd.Datase
 
     return emb.map_batches(Bucketize, fn_constructor_kwargs={"h": planes_handle},
                            batch_format="pyarrow", concurrency=scale_concurrency(None))
+
+
+def emb_lsh_near_pairs(sf_dir: str, threshold: float = 0.45,
+                       n_tables: int = 24, planes_per_table: int = 4,
+                       seed: int = 9, dim: int = 64,
+                       max_bucket: int = 10_000) -> pd.DataFrame:
+    """Scale path for embedding near-dup: multi-table hyperplane LSH →
+    bucket-local candidate pairs → DISTRIBUTED cosine verification.
+
+    A single wide bucket (emb_lsh_buckets' 16 planes) has ~0.1% recall
+    for cos≈0.45 pairs; banding into ``n_tables`` independent tables of
+    ``planes_per_table`` planes gives recall 1-(1-p^b)^L ≈ 0.99 at the
+    threshold (p = 1-θ/π). The shuffle carries only (table, bucket,
+    vec_id) rows — vectors enter only the verify joins, proportional to
+    the candidate set. Approximate ⇒ no SQL oracle; recall vs the
+    brute-force emb_near_pairs baseline is pytest-gated (≥0.9)."""
+    import ray
+
+    from tag_ray.functions.grouping import coarse_grouped_apply
+    from tag_ray.functions.verify import verify_pairs_cosine
+    from tag_ray.pipelines.embeddings import _emb_matrix
+
+    rng = np.random.default_rng(seed)
+    planes_handle = ray.put(rng.normal(size=(n_tables, dim, planes_per_table)))
+    emb = table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    class BandedBuckets:
+        def __init__(self, h):
+            self.planes = ray.get(h)
+            self.weights = (np.uint64(1)
+                            << np.arange(self.planes.shape[2], dtype=np.uint64))
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            m = _emb_matrix(b)  # sign pattern is norm-invariant
+            ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pieces = []
+            for ti in range(self.planes.shape[0]):
+                bits = (m @ self.planes[ti]) > 0
+                bucket = (bits.astype(np.uint64) * self.weights[None, :]) \
+                    .sum(axis=1).astype(np.int64)
+                pieces.append(pa.Table.from_pydict({
+                    "table_id": pa.array(np.full(len(ids), ti, np.int32)),
+                    "bucket": pa.array(bucket),
+                    "vec_id": pa.array(ids),
+                }))
+            return pa.concat_tables(pieces)
+
+    banded = emb.map_batches(BandedBuckets,
+                             fn_constructor_kwargs={"h": planes_handle},
+                             batch_format="pyarrow",
+                             concurrency=scale_concurrency(None))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g["vec_id"].to_numpy())
+        if ids.size < 2 or ids.size > max_bucket:  # skew guard (approx path)
+            return pd.DataFrame({"vec_id_a": pd.Series([], dtype="int64"),
+                                 "vec_id_b": pd.Series([], dtype="int64")})
+        a, b = np.triu_indices(ids.size, k=1)
+        return pd.DataFrame({"vec_id_a": ids[a], "vec_id_b": ids[b]})
+
+    cand = (coarse_grouped_apply(banded, ["table_id", "bucket"], pairs)
+            .groupby(["vec_id_a", "vec_id_b"])
+            .aggregate(Count(alias_name="n_tables")))
+    cand = cand.map_batches(
+        lambda tt: pa.Table.from_pydict({
+            "vec_id_a": tt["vec_id_a"].cast(pa.int64()),
+            "vec_id_b": tt["vec_id_b"].cast(pa.int64())}),
+        batch_format="pyarrow").materialize()
+    empty = {"vec_id_a": "int64", "vec_id_b": "int64", "cos": "float64"}
+    if cand.count() == 0:
+        return _empty_pairs_df(empty)
+    out = verify_pairs_cosine(emb, cand, threshold).to_pandas()
+    if out.empty:
+        return _empty_pairs_df(empty)
+    return out.sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True) \
+        .astype({"vec_id_a": "int64", "vec_id_b": "int64"})
 
 
 # ---------------------------------------------------------------------------

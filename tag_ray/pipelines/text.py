@@ -319,13 +319,24 @@ def doc_winnow_fingerprint_pairs(sf_dir: str, min_shared: int = 10,
         a, b = np.triu_indices(ids.size, k=1)
         return pd.DataFrame({"doc_id_a": ids[a], "doc_id_b": ids[b]})
 
+    import pyarrow.compute as pc
+
+    # threshold INSIDE the dataset: only pairs sharing >= min_shared
+    # fingerprints (small by construction) reach the driver — the raw
+    # shared-pair relation is unbounded at corpus scale (VERDICT r1).
     shared = (coarse_grouped_apply(
                   docs.map_batches(explode, batch_format="pyarrow"),
                   ["fp"], posting_pairs)
               .groupby(["doc_id_a", "doc_id_b"])
-              .aggregate(Count(alias_name="n_shared")).to_pandas())
-    out = shared[shared["n_shared"] >= min_shared] \
-        .sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
+              .aggregate(Count(alias_name="n_shared"))
+              .map_batches(lambda b: b.filter(
+                  pc.greater_equal(b["n_shared"], min_shared)),
+                  batch_format="pyarrow")
+              .to_pandas())
+    if "n_shared" not in shared.columns:  # fully-empty dataset → 0 cols
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in ("doc_id_a", "doc_id_b", "n_shared")})
+    out = shared.sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
     return out.astype({"doc_id_a": "int64", "doc_id_b": "int64",
                        "n_shared": "int64"})
 

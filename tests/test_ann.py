@@ -28,3 +28,21 @@ def test_ivf_deterministic(ray_session):
     a = emb_ivf_topk(SF_DIR, query_vec_id=3, k=5)
     b = emb_ivf_topk(SF_DIR, query_vec_id=3, k=5)
     assert a.equals(b)
+
+
+def test_lsh_near_pairs_recall_vs_bruteforce(ray_session):
+    """The banded-LSH near-dup path (candidates + distributed cosine
+    verify) must recover ≥0.9 of the exact pair set, with every reported
+    cosine exact (scores are recomputed, only recall is approximate)."""
+    from tag_ray.pipelines.dedup import emb_lsh_near_pairs, emb_near_pairs
+
+    exact = emb_near_pairs(SF_DIR, threshold=0.45)
+    approx = emb_lsh_near_pairs(SF_DIR, threshold=0.45)
+    e = set(zip(exact.vec_id_a, exact.vec_id_b))
+    a = set(zip(approx.vec_id_a, approx.vec_id_b))
+    assert a <= e, f"false positives: {a - e}"  # verify stage is exact
+    recall = len(a & e) / len(e) if e else 1.0
+    assert recall >= 0.9, f"LSH near-pair recall {recall}"
+    merged = approx.merge(exact, on=["vec_id_a", "vec_id_b"],
+                          suffixes=("_a", "_e"))
+    assert (merged.cos_a == merged.cos_e).all()
