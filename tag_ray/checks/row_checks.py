@@ -178,9 +178,13 @@ class RowValidator:
     batch it is pure compute.
     """
 
-    def __init__(self, cfg: EngineConfig = DEFAULT_CONFIG, ref_handle=None):
+    def __init__(self, cfg: EngineConfig = DEFAULT_CONFIG, ref_handle=None,
+                 registry=None):
         self.cfg = cfg
         self.ref_md5: dict[str, str | None] | None = None
+        # registered custom checks (checks/registry.py §2.9 surface)
+        # arrive by value — snapshot taken at pipeline construction
+        self.registry = registry
         if ref_handle is not None:
             import ray
             obj = ray.get(ref_handle) if not isinstance(ref_handle, dict) else ref_handle
@@ -190,4 +194,9 @@ class RowValidator:
             self.ref_md5 = obj
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return validate_batch(batch, self.cfg, self.ref_md5)
+        out = validate_batch(batch, self.cfg, self.ref_md5)
+        if self.registry is not None:
+            extra = self.registry.run(batch)
+            if extra is not None and extra.num_rows:
+                out = pa.concat_tables([out, extra])
+        return out

@@ -73,8 +73,16 @@ def load_ref_table(path: str) -> pa.Table:
 def row_violations(images: rd.Dataset, cfg: EngineConfig = DEFAULT_CONFIG,
                    ref_table: pa.Table | None = None) -> rd.Dataset:
     """Stage 2: stateless suite as an actor pool; reference table broadcast
-    once via ray.put (J1 small-side pattern), fetched per actor not per batch."""
+    once via ray.put (J1 small-side pattern), fetched per actor not per batch.
+
+    Custom checks registered via checks/registry.py are snapshot here and
+    shipped to the actors by value — a user extension needs no edit to
+    the built-in suite (SURVEY.md §2.9)."""
+    from tag_ray.checks.registry import DEFAULT_REGISTRY
+
     kwargs = {"cfg": cfg}
+    if DEFAULT_REGISTRY.checks:
+        kwargs["registry"] = DEFAULT_REGISTRY
     if ref_table is not None:
         # broadcast the Arrow table (zero-copy into the object store);
         # each actor builds its lookup dict ONCE in __init__ — in
