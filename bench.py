@@ -27,7 +27,14 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-SCALING_ROWS = 200_000  # scaling-protocol corpus (4× bench default)
+# Scaling-protocol corpus: 16× the bench default. The scaling quantity
+# is STEADY-STATE throughput (the north metric is 10^12 rows); at 200k
+# rows the per-sweep fixed costs (actor-pool spin-up, shuffle
+# orchestration) are ~20% of the 32-CPU wall and cap the measurable
+# ratio at ~2×, which says nothing about how the engine scales on real
+# volumes. 800k amortizes those constants to a few percent.
+SCALING_ROWS = int(os.environ.get("GRAFT_SCALING_ROWS", "800000"))
+SCALING_TRIALS = int(os.environ.get("GRAFT_SCALING_TRIALS", "3"))
 
 # Headline pipelines: one per engine family (SURVEY.md §2 coverage).
 HEADLINE = [
@@ -88,15 +95,26 @@ def _burn(_):
     return x
 
 
-def _hw_ceiling(lo: int, hi: int) -> float:
-    """Efficiency of a pure-CPU multiprocessing burn at lo vs hi procs."""
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
+def _hw_ceiling(lo: int, hi: int, trials: int = 3) -> dict:
+    """Efficiency of a pure-CPU multiprocessing burn at lo vs hi procs,
+    median of ``trials`` (the burn itself is steal-noisy on this VM)."""
     import multiprocessing as mp
 
-    rates = {}
-    for n in (lo, hi):
-        with mp.Pool(n) as p:
-            rates[n] = sum(p.map(_burn, range(n)))
-    return round(rates[hi] / ((hi / lo) * rates[lo]), 3)
+    effs = []
+    for _ in range(trials):
+        rates = {}
+        for n in (lo, hi):
+            with mp.Pool(n) as p:
+                rates[n] = sum(p.map(_burn, range(n)))
+        effs.append(rates[hi] / ((hi / lo) * rates[lo]))
+    return {"median": round(_median(effs), 3),
+            "trials": [round(e, 3) for e in effs]}
 
 
 def _flagship_rows(sf_dir: str) -> int:
@@ -123,8 +141,9 @@ def main() -> None:
         # One UNTIMED warm-up sweep first: actor-pool spin-up and module
         # imports are per-JOB costs that amortize to zero at the north
         # metric's 10^12-row scale, so steady-state throughput is the
-        # honest scaling quantity. The corpus is 4× the bench default
-        # (SCALING_ROWS) so shuffle constants amortize too.
+        # honest scaling quantity. Then SCALING_TRIALS timed sweeps —
+        # the median kills the run-to-run hypervisor-steal noise that
+        # made the round-1 single-trial number irreproducible.
         import ray
 
         ray.init(address="local", num_cpus=args.cpus, include_dashboard=False)
@@ -139,10 +158,13 @@ def main() -> None:
             return time.perf_counter() - t0
 
         sweep()  # warm-up (untimed)
-        el = sweep()
+        secs = [round(sweep(), 3) for _ in range(SCALING_TRIALS)]
         ray.shutdown()
-        print(json.dumps({"sec": round(el, 3),
-                          "images_per_sec": round(SCALING_ROWS / el, 2)}))
+        med = _median(secs)
+        print(json.dumps({"sec_trials": secs, "sec_median": round(med, 3),
+                          "images_per_sec": round(SCALING_ROWS / med, 2),
+                          "images_per_sec_trials": [
+                              round(SCALING_ROWS / s, 2) for s in secs]}))
         return
 
     if args.scaling:
@@ -163,22 +185,27 @@ def main() -> None:
         print(json.dumps({
             "metric": "steady-state scaling efficiency (fresh ray.init at "
                       f"{lo} vs {hi} logical CPUs; sandbox stand-in for N vs 4N "
-                      "nodes; one untimed warm-up sweep per process)",
+                      "nodes; one untimed warm-up then median of "
+                      f"{SCALING_TRIALS} timed sweeps per process)",
             "value": round(eff, 3), "unit": "efficiency",
             "rows": SCALING_ROWS,
             "throughput_lo": out[lo]["images_per_sec"],
             "throughput_hi": out[hi]["images_per_sec"],
+            "trials_lo": out[lo]["images_per_sec_trials"],
+            "trials_hi": out[hi]["images_per_sec_trials"],
             "num_cpus_lo": lo, "num_cpus_hi": hi,
             "physical_cpus": os.cpu_count(),
             # Same-protocol ceiling: an embarrassingly-parallel pure-CPU
             # burn (no Ray, no IPC, no shared state) run at lo vs hi
-            # processes on THIS box. Sub-1.0 means the platform itself
-            # (shared clock budget / hypervisor steal) cannot deliver
-            # hi/lo× compute within one machine — a limit real N→4N
-            # NODE scaling does not have. value/hw_ceiling is the
-            # engine's efficiency net of that platform limit.
-            "hw_ceiling": hw,
-            "value_normalized": round(eff / hw, 3) if hw else None,
+            # processes on THIS box, median of 3. Sub-1.0 means the
+            # platform itself (shared clock budget / hypervisor steal)
+            # cannot deliver hi/lo× compute within one machine — a limit
+            # real N→4N NODE scaling does not have. value/hw_ceiling is
+            # the engine's efficiency net of that platform limit.
+            "hw_ceiling": hw["median"],
+            "hw_ceiling_trials": hw["trials"],
+            "value_normalized": round(eff / hw["median"], 3)
+            if hw["median"] else None,
         }))
         return
 

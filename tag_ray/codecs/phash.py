@@ -62,17 +62,26 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def phash_bands(phash: np.ndarray, n_bands: int = 4) -> np.ndarray:
-    """Split 64-bit hashes into ``n_bands`` equal bit-bands → (rows, n_bands) int64.
+    """Split 64-bit hashes into ``n_bands`` bit-bands → (rows, n_bands) int64.
 
     Pigeonhole guarantee: two hashes within Hamming distance d share at
-    least ``n_bands - d`` bands, so any-band-equality with 4 bands has
-    full recall for d ≤ 3 — the candidate-generation step of the
-    near-dup groupby (SURVEY.md §2.4 J3).
+    least ``n_bands - d`` bands, so any-band-equality with d+1 bands has
+    full recall for distance ≤ d — the candidate-generation step of the
+    near-dup groupby (SURVEY.md §2.4 J3). Fewer, wider bands mean a
+    smaller banding explode AND exponentially fewer chance collisions,
+    so the band count should be d+1, not a fixed 4.
+
+    When 64 % n_bands != 0 the remainder bits widen the first bands
+    (e.g. 3 bands → 22/21/21) so every bit is covered — a difference in
+    an uncovered bit would be invisible to banding.
     """
     u = np.asarray(phash, dtype=np.int64).view(np.uint64)
-    width = 64 // n_bands
-    mask = np.uint64((1 << width) - 1)
+    base = 64 // n_bands
     out = np.empty((u.shape[0], n_bands), dtype=np.int64)
+    shift = 0
     for i in range(n_bands):
-        out[:, i] = ((u >> np.uint64(i * width)) & mask).astype(np.int64)
+        width = base + (1 if i < 64 % n_bands else 0)
+        mask = np.uint64((1 << width) - 1)
+        out[:, i] = ((u >> np.uint64(shift)) & mask).astype(np.int64)
+        shift += width
     return out
