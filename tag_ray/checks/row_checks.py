@@ -111,6 +111,10 @@ def validate_batch(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG,
         fmt, data = fmts[i], blobs[i]
         if fmt is None or data is None:
             continue  # already a null_field violation
+        # metadata-invariance: a trailing annotation block never changes
+        # identification, decode, or payload hash (id.go:60-81 /
+        # sum.go:117-134 semantics)
+        data, _trailer = codecs.split_trailer(data)
         if len(data) > cfg.max_decode_bytes:
             out.add(ids[i], parts[i], Check.DECODE_ERROR,
                     f"cell {len(data)}B exceeds max_decode_bytes")

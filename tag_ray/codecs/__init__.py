@@ -22,6 +22,7 @@ from tag_ray.codecs.phash import hamming64, phash64, phash_bands
 
 __all__ = [
     "CODECS", "MAGIC_TABLE", "LOSSLESS", "DecodeError",
+    "TRAILER_MAGIC", "TRAILER_LEN", "split_trailer",
     "identify", "encode", "decode", "decode_reference", "read_header",
     "phash64", "hamming64", "phash_bands", "psnr",
 ]
@@ -57,13 +58,41 @@ MAX_MAGIC_LEN = max(len(m) for m, _ in MAGIC_TABLE)
 LOSSLESS = frozenset(c.fmt for c in CODECS.values() if c.lossless)
 
 
+# Trailing annotation block: fixed 128 bytes at EOF starting with the
+# trailer magic — the engine's ID3v1 analogue (a 128-byte "TAG" trailer
+# probed at EOF-128, /root/reference/id.go:60-81). Payload identity is
+# metadata-invariant: decode/phash operate on the payload with the
+# trailer stripped (the sum.go:117-134 "hash everything except the last
+# 128 bytes" semantic).
+TRAILER_MAGIC = b"TAGR"
+TRAILER_LEN = 128
+
+
+def split_trailer(data: bytes | None) -> tuple[bytes | None, bytes | None]:
+    """(payload, trailer-or-None). A trailer is exactly the last 128
+    bytes when they start with ``TRAILER_MAGIC`` and a recognized
+    payload magic precedes them (so a 128-byte pure-trailer cell is not
+    mistaken for an empty payload with annotation)."""
+    if data is not None and len(data) > TRAILER_LEN \
+            and data[-TRAILER_LEN:][:len(TRAILER_MAGIC)] == TRAILER_MAGIC:
+        return data[:-TRAILER_LEN], data[-TRAILER_LEN:]
+    return data, None
+
+
 def identify(data: bytes | None) -> str | None:
-    """Magic-byte classification only (no parse) — tag.Identify (id.go:9-81)."""
+    """Magic-byte classification only (no parse) — tag.Identify (id.go:9-81).
+
+    Like the reference's EOF-128 ID3v1 probe, a trailing annotation
+    block does not change the detected format: the prefix of the
+    payload (trailer stripped) decides."""
     if not data:
         return None
     for magic, fmt in MAGIC_TABLE:
         if data[: len(magic)] == magic:
             return fmt
+    payload, trailer = split_trailer(data)
+    if trailer is not None:
+        return identify(payload)
     return None
 
 

@@ -618,28 +618,49 @@ def emb_lsh_buckets(sf_dir: str, n_planes: int = 16, seed: int = 9) -> rd.Datase
 
 
 def emb_lsh_near_pairs(sf_dir: str, threshold: float = 0.45,
-                       n_tables: int = 24, planes_per_table: int = 4,
+                       n_tables: int | None = None,
+                       planes_per_table: int | None = None,
                        seed: int = 9, dim: int = 64,
+                       target_bucket: int = 32, recall_target: float = 0.95,
                        max_bucket: int = 10_000) -> pd.DataFrame:
     """Scale path for embedding near-dup: multi-table hyperplane LSH →
     bucket-local candidate pairs → DISTRIBUTED cosine verification.
 
     A single wide bucket (emb_lsh_buckets' 16 planes) has ~0.1% recall
     for cos≈0.45 pairs; banding into ``n_tables`` independent tables of
-    ``planes_per_table`` planes gives recall 1-(1-p^b)^L ≈ 0.99 at the
-    threshold (p = 1-θ/π). The shuffle carries only (table, bucket,
-    vec_id) rows — vectors enter only the verify joins, proportional to
+    ``planes_per_table`` planes gives recall 1-(1-p^b)^L at the
+    threshold (p = 1-θ/π). Both parameters ADAPT to corpus size when
+    not given: planes grow with log2(n/target_bucket) so expected
+    bucket size stays ~constant (fixed 4-plane buckets degrade to
+    near-all-pairs as n grows), and tables are solved from the recall
+    target for the resulting p^b (floored at 24, capped at 64 — the
+    standard LSH tradeoff: low cosine thresholds are intrinsically
+    expensive to band). The shuffle carries only (table, bucket,
+    vec_id) rows — vectors enter only the verify stage, proportional to
     the candidate set. Approximate ⇒ no SQL oracle; recall vs the
-    brute-force emb_near_pairs baseline is pytest-gated (≥0.9)."""
+    brute-force emb_near_pairs baseline is pytest-gated (≥0.9 at smoke
+    scale)."""
     import ray
 
     from tag_ray.functions.grouping import coarse_grouped_apply
     from tag_ray.functions.verify import verify_pairs_cosine
     from tag_ray.pipelines.embeddings import _emb_matrix
 
+    emb = table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    if planes_per_table is None or n_tables is None:
+        n = emb.count()
+        if planes_per_table is None:
+            planes_per_table = max(4, int(np.ceil(
+                np.log2(max(n, 2 * target_bucket) / target_bucket))))
+        if n_tables is None:
+            p = 1.0 - np.arccos(min(max(threshold, -1.0), 1.0)) / np.pi
+            pb = p ** planes_per_table
+            want = (np.log(1.0 - recall_target) / np.log(1.0 - pb)
+                    if 0.0 < pb < 1.0 else 1.0)
+            n_tables = int(min(max(np.ceil(want), 24), 64))
+
     rng = np.random.default_rng(seed)
     planes_handle = ray.put(rng.normal(size=(n_tables, dim, planes_per_table)))
-    emb = table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     class BandedBuckets:
         def __init__(self, h):

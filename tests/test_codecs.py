@@ -135,3 +135,38 @@ def test_hamming_vectorized():
     a = np.array([0, -1, 0x0F], dtype=np.int64)
     b = np.array([0, 0, 0x00], dtype=np.int64)
     assert hamming64(a, b).tolist() == [0, 64, 4]
+
+
+def test_trailer_metadata_invariance():
+    """A 128-byte TAGR trailer (the ID3v1-at-EOF analogue, id.go:60-81)
+    must not change identification, decode, or the payload phash — the
+    sum.go 'payload identity is metadata-invariant' semantic."""
+    import pyarrow as pa
+
+    from tag_ray import codecs
+    from tag_ray.checks.row_checks import validate_batch
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    data = codecs.encode("png", px)
+    trailer = codecs.TRAILER_MAGIC + b"note=hello" \
+        + b"\x00" * (codecs.TRAILER_LEN - 14)
+    assert len(trailer) == codecs.TRAILER_LEN
+    wrapped = data + trailer
+
+    assert codecs.identify(wrapped) == "png"
+    payload, tr = codecs.split_trailer(wrapped)
+    assert payload == data and tr == trailer
+    assert codecs.split_trailer(data) == (data, None)
+
+    # end-to-end: a trailer-annotated valid row produces NO violations
+    ph = codecs.phash64(codecs.decode("png", data))
+    batch = pa.Table.from_pydict({
+        "image_id": ["t1"], "bytes": [wrapped],
+        "w": pa.array([24], pa.int32()), "h": pa.array([24], pa.int32()),
+        "fmt": ["png"], "caption": ["c"],
+        "phash": pa.array([ph], pa.int64()),
+        "partition_id": pa.array([0], pa.int32()),
+    })
+    out = validate_batch(batch)
+    assert out.num_rows == 0, out.to_pydict()

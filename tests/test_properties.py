@@ -82,3 +82,26 @@ def test_sketch_merge_associative(seed, n, parts):
     assert np.isclose(a["variance"], b["variance"], equal_nan=True)
     assert a["min"] == b["min"] and a["max"] == b["max"]
     assert a["approx_distinct"] == b["approx_distinct"]
+
+
+@settings(max_examples=20, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1), n=st.integers(1, 500))
+def test_round_half_away_matches_duckdb(seed, n):
+    """functions/rounding must agree with DuckDB ROUND bit-exactly on
+    both the cents transform and 4-decimal rounding — the round-1 hash
+    mismatches were exactly this class (VERDICT r1 #1)."""
+    import duckdb
+
+    from tag_ray.functions.rounding import round_half_away, to_cents
+
+    rng = np.random.default_rng(seed)
+    # mix smooth values with exact half-boundary cases at both scales
+    x = np.r_[rng.uniform(-1e6, 1e6, n),
+              np.round(rng.integers(-10**8, 10**8, n)) / 100.0 + 0.005,
+              np.round(rng.integers(-10**8, 10**8, n)) / 10000.0 + 0.00005]
+    con = duckdb.connect()
+    df = con.execute(
+        "SELECT CAST(round(x*100) AS BIGINT) AS c, round(x, 4) AS r4 "
+        "FROM (SELECT unnest(?::DOUBLE[]) AS x)", [x.tolist()]).fetchdf()
+    assert (to_cents(x) == df["c"].to_numpy()).all()
+    assert (round_half_away(x, 4) == df["r4"].to_numpy()).all()
