@@ -107,28 +107,40 @@ def dup_violations(images: rd.Dataset) -> rd.Dataset:
     """Stage 3: exact uniqueness on image_id — groupby multiplicity
     (the ``hashes[h]++`` histogram, cmd/check/main.go:190). Expects a
     dataset pruned to (image_id, partition_id) at the read — the binary
-    payload must never enter this shuffle."""
-    counts = (
-        images
-        .groupby("image_id")
-        .aggregate(Count(alias_name="n"), Min("partition_id", alias_name="pid"))
-    )
+    payload must never enter this shuffle.
 
-    def to_violations(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    Shuffles on a coarse int32 hash bucket of the id (every id lands
+    wholly in one bucket) rather than the string id itself: the sort
+    exchange moves/compares int32 keys, and multiplicity inside a
+    bucket is one C-level pandas groupby — the same whole-bucket
+    pattern as the near-dup stage, identical results to the per-id
+    groupby."""
+    from tag_ray.functions.grouping import COARSE_COL, default_num_buckets
+    from tag_ray.functions.hashing import hash_strings64
 
-        dup = batch.filter(pc.greater(batch["n"], 1))
-        return pa.Table.from_pydict(
-            {
-                "image_id": dup["image_id"],
-                "partition_id": dup["pid"].cast(pa.int32()),
-                "check": pa.array([Check.DUP_ID] * dup.num_rows, pa.string()),
-                "detail": pa.array([str(v) for v in dup["n"].to_pylist()], pa.string()),
-            },
-            schema=VIOLATION_SCHEMA,
-        )
+    buckets = default_num_buckets()
 
-    return counts.map_batches(to_violations, batch_format="pyarrow")
+    def add_coarse(b: pa.Table) -> pa.Table:
+        h = hash_strings64(b["image_id"].to_pylist())
+        return b.append_column(
+            COARSE_COL, pa.array((h % np.uint64(buckets)).astype(np.int32)))
+
+    def bucket_dups(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby("image_id", sort=True).agg(
+            n=("partition_id", "size"), pid=("partition_id", "min"))
+        dup = agg[agg["n"] > 1].reset_index()
+        # emit Arrow with the exact violation schema so the downstream
+        # union with the other (Arrow-block) families needs no cast
+        return pa.Table.from_pydict({
+            "image_id": dup["image_id"].to_numpy(dtype=object),
+            "partition_id": dup["pid"].to_numpy(dtype="int32"),
+            "check": [Check.DUP_ID] * len(dup),
+            "detail": dup["n"].astype("int64").astype(str).to_numpy(dtype=object),
+        }, schema=VIOLATION_SCHEMA)
+
+    return (images.map_batches(add_coarse, batch_format="pyarrow")
+            .groupby(COARSE_COL)
+            .map_groups(bucket_dups, batch_format="pandas"))
 
 
 _ND_GROUP_CAP = 50_000  # skew guard: cap on one (band, value) run
