@@ -90,3 +90,64 @@ def coarse_grouped_apply(
 
     return ds.map_batches(add_coarse, batch_format="pyarrow") \
         .groupby(COARSE_COL).map_groups(per_coarse, batch_format="pandas")
+
+
+def coarse_bucket_apply(
+    ds: rd.Dataset,
+    key_cols: list[str],
+    bucket_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Hand each WHOLE coarse bucket (fine keys co-located, coarse column
+    dropped) to ``bucket_fn``. Use instead of ``coarse_grouped_apply``
+    when the per-group work can be vectorized across all of a bucket's
+    groups at once (sort + run-detect + one kernel) — the Python-call
+    count becomes the bucket count, independent of group cardinality
+    (measured: per-run fn calls were ~13 s of a 41 s stage at 8 CPUs in
+    the flagship near-dup)."""
+    buckets = num_buckets or default_num_buckets()
+
+    def add_coarse(tbl: pa.Table) -> pa.Table:
+        h = _combined_key(tbl, key_cols)
+        return tbl.append_column(
+            COARSE_COL, pa.array((h % np.uint64(buckets)).astype(np.int32)))
+
+    def per(g: pd.DataFrame):
+        return bucket_fn(g.drop(columns=[COARSE_COL]))
+
+    return ds.map_batches(add_coarse, batch_format="pyarrow") \
+        .groupby(COARSE_COL).map_groups(per, batch_format="pandas")
+
+
+def run_pair_indices(sorted_keys: list[np.ndarray], min_size: int = 2,
+                     max_size: int | None = None,
+                     cap: int | None = None) -> tuple[np.ndarray, np.ndarray]:
+    """All within-run (i < j) index pairs over arrays sorted by the run
+    keys. A "run" is a maximal stretch of equal ``sorted_keys`` tuples.
+    Runs larger than ``max_size`` are DROPPED (skew guard for
+    approximate paths); larger than ``cap``, TRUNCATED. The loop touches
+    only runs with ≥ ``min_size`` rows and does index arithmetic only —
+    pair construction and any downstream scoring stay fully vectorized."""
+    n = len(sorted_keys[0])
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    change = np.zeros(n, dtype=bool)
+    change[0] = True
+    for kv in sorted_keys:
+        change[1:] |= kv[1:] != kv[:-1]
+    starts = np.flatnonzero(change)
+    ends = np.r_[starts[1:], n]
+    sizes = ends - starts
+    pi, pj = [], []
+    for k in np.flatnonzero(sizes >= min_size):
+        sz = int(sizes[k])
+        if max_size is not None and sz > max_size:
+            continue
+        if cap is not None:
+            sz = min(sz, cap)
+        a, b = np.triu_indices(sz, k=1)
+        pi.append(a + starts[k])
+        pj.append(b + starts[k])
+    if not pi:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(pi), np.concatenate(pj)

@@ -164,6 +164,31 @@ def _band_rows(ids: list, sigs: np.ndarray, bands: int) -> pa.Table:
     })
 
 
+def _sorted_dedup_runs(g: pd.DataFrame, key_cols: list[str], id_col: str,
+                       extra: tuple[str, ...] = ()):
+    """Sort bucket rows by (key_cols..., id) and drop consecutive
+    duplicate (keys, id) rows — the canonical pre-pass for whole-bucket
+    pair generation (grouping.run_pair_indices). Ids ascend within each
+    run, so emitted (i, j) index pairs are already (a < b)-ordered.
+    Returns (*key_arrays, ids, *extra_arrays)."""
+    arrs = [g[c].to_numpy() for c in key_cols]
+    ids = g[id_col].to_numpy()
+    extras = [g[c].to_numpy() for c in extra]
+    order = np.lexsort((ids, *reversed(arrs)))
+    arrs = [a[order] for a in arrs]
+    ids = ids[order]
+    extras = [e[order] for e in extras]
+    same = ids[1:] == ids[:-1]
+    for a in arrs:
+        same &= a[1:] == a[:-1]
+    if same.any():
+        keep = np.r_[True, ~same]
+        arrs = [a[keep] for a in arrs]
+        ids = ids[keep]
+        extras = [e[keep] for e in extras]
+    return (*arrs, ids, *extras)
+
+
 def doc_minhash_candidates(docs: rd.Dataset, num_perm: int = 128,
                            bands: int = 16, shingle_k: int = 3) -> rd.Dataset:
     """documents → candidate near-dup pairs (doc_id_a < doc_id_b) via LSH.
@@ -187,16 +212,17 @@ def doc_minhash_candidates(docs: rd.Dataset, num_perm: int = 128,
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "k": shingle_k},
         batch_format="pyarrow", concurrency=scale_concurrency(None))
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g["doc_id"].to_numpy())
-        if ids.size < 2 or ids.size > 10_000:  # skew guard on degenerate buckets
-            return pd.DataFrame({"doc_id_a": [], "doc_id_b": []})
-        a, b = np.triu_indices(ids.size, k=1)
-        return pd.DataFrame({"doc_id_a": ids[a], "doc_id_b": ids[b]})
+    def pair_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # whole-bucket vectorized pair generation: one sort + run-detect
+        # over every (band, value) run at once (grouping.run_pair_indices)
+        bi, bv, ids = _sorted_dedup_runs(
+            g, ["band_id", "band_val"], "doc_id")
+        pi, pj = run_pair_indices([bi, bv], max_size=10_000)  # skew guard
+        return pd.DataFrame({"doc_id_a": ids[pi], "doc_id_b": ids[pj]})
 
-    from tag_ray.functions.grouping import coarse_grouped_apply
+    from tag_ray.functions.grouping import coarse_bucket_apply, run_pair_indices
 
-    cand = coarse_grouped_apply(banded, ["band_id", "band_val"], pairs)
+    cand = coarse_bucket_apply(banded, ["band_id", "band_val"], pair_bucket)
     return cand.groupby(["doc_id_a", "doc_id_b"]).aggregate(Count(alias_name="n_bands"))
 
 
@@ -354,48 +380,31 @@ def doc_ngram_jaccard_near_dups(sf_dir: str, threshold: float = 0.7,
 
     prefix_rows = PrefixRows  # actor-pool stage; DF table fetched once per actor
 
-    def posting_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def posting_bucket(g: pd.DataFrame) -> pd.DataFrame:
         # No size cap: this path is EXACT and oracle-checked, so a hot
         # posting list must produce every pair (ADVICE r1 — the old 10k
-        # cap silently dropped candidates). Pair generation is chunked:
-        # O(n) vectorized passes instead of one O(n²) index materialize,
-        # so a skewed gram costs time, never memory.
-        g = g.drop_duplicates("doc_id")
-        n = len(g)
-        if n < 2:
-            return pd.DataFrame({"doc_id_a": [], "doc_id_b": []})
-        ids = g["doc_id"].to_numpy()
-        ms = g["m"].to_numpy()
-        if n <= 1024:
-            a, b = np.triu_indices(n, k=1)
-            # size filter: J >= t impossible unless t*max(ma,mb) <= min
-            lo = np.minimum(ms[a], ms[b])
-            hi = np.maximum(ms[a], ms[b])
-            keep = lo >= t * hi
-            da, db = ids[a][keep], ids[b][keep]
-        else:
-            outs_a, outs_b = [], []
-            for i in range(n - 1):
-                mj = ms[i + 1:]
-                keep = np.minimum(ms[i], mj) >= t * np.maximum(ms[i], mj)
-                if keep.any():
-                    outs_b.append(ids[i + 1:][keep])
-                    outs_a.append(np.full(outs_b[-1].size, ids[i], ids.dtype))
-            if not outs_a:
-                return pd.DataFrame({"doc_id_a": [], "doc_id_b": []})
-            da = np.concatenate(outs_a)
-            db = np.concatenate(outs_b)
-        swap = da > db
-        return pd.DataFrame({"doc_id_a": np.where(swap, db, da),
-                             "doc_id_b": np.where(swap, da, db)})
+        # cap silently dropped candidates); DF-ordered prefixes keep the
+        # lists small, so skew costs time, never correctness. Pair
+        # generation is whole-bucket vectorized: one sort + run-detect
+        # over every gram's posting list at once, then one size-filter
+        # kernel over all pairs.
+        gram, ids, ms = _sorted_dedup_runs(g, ["gram"], "doc_id", ("m",))
+        pi, pj = run_pair_indices([gram])
+        if pi.size == 0:
+            return pd.DataFrame({"doc_id_a": pd.Series([], dtype="int64"),
+                                 "doc_id_b": pd.Series([], dtype="int64")})
+        # size filter: J >= t impossible unless t*max(ma,mb) <= min
+        keep = np.minimum(ms[pi], ms[pj]) >= t * np.maximum(ms[pi], ms[pj])
+        return pd.DataFrame({"doc_id_a": ids[pi][keep],
+                             "doc_id_b": ids[pj][keep]})
 
-    from tag_ray.functions.grouping import coarse_grouped_apply
+    from tag_ray.functions.grouping import coarse_bucket_apply, run_pair_indices
 
-    cand = (coarse_grouped_apply(
+    cand = (coarse_bucket_apply(
                 docs.map_batches(prefix_rows, fn_constructor_kwargs={"h": df_handle},
                                  batch_format="pyarrow",
                                  concurrency=scale_concurrency(None)),
-                ["gram"], posting_pairs)
+                ["gram"], posting_bucket)
             .groupby(["doc_id_a", "doc_id_b"]).aggregate(Count(alias_name="n")))
     return _verified_jaccard_pairs(docs, cand, t, shingle_k)
 
@@ -498,26 +507,27 @@ def doc_simhash_near_dups(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
         }) for i in range(4)]
         return pa.concat_tables(pieces)
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id")
-        n = len(g)
-        if n < 2 or n > 10_000:
-            return pd.DataFrame({"doc_id_a": [], "doc_id_b": [], "hamming": []})
-        ids = g["doc_id"].to_numpy()
-        hs = g["simhash"].to_numpy(dtype=np.int64)
-        rows = []
-        for i in range(n - 1):
-            d = hamming64(np.repeat(hs[i], n - i - 1), hs[i + 1 :])
-            for j in np.flatnonzero(d <= max_hamming):
-                a, b_ = ids[i], ids[i + 1 + j]
-                rows.append((min(a, b_), max(a, b_), int(d[j])))
-        return pd.DataFrame(rows, columns=["doc_id_a", "doc_id_b", "hamming"])
+    def pair_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # whole-bucket: sort + run-detect every band run at once, then
+        # ONE vectorized Hamming call over all within-run pairs
+        bi, bv, ids, hs = _sorted_dedup_runs(
+            g, ["band_id", "band_val"], "doc_id", ("simhash",))
+        pi, pj = run_pair_indices([bi, bv], max_size=10_000)
+        if pi.size == 0:
+            return pd.DataFrame({"doc_id_a": pd.Series([], dtype="int64"),
+                                 "doc_id_b": pd.Series([], dtype="int64"),
+                                 "hamming": pd.Series([], dtype="int64")})
+        d = hamming64(hs[pi].astype(np.int64), hs[pj].astype(np.int64))
+        keep = d <= max_hamming
+        return pd.DataFrame({"doc_id_a": ids[pi][keep],
+                             "doc_id_b": ids[pj][keep],
+                             "hamming": d[keep].astype("int64")})
 
-    from tag_ray.functions.grouping import coarse_grouped_apply
+    from tag_ray.functions.grouping import coarse_bucket_apply, run_pair_indices
 
-    cand = coarse_grouped_apply(
+    cand = coarse_bucket_apply(
         sh.map_batches(explode, batch_format="pyarrow"),
-        ["band_id", "band_val"], pairs)
+        ["band_id", "band_val"], pair_bucket)
     uniq = cand.groupby(["doc_id_a", "doc_id_b"]).aggregate(
         Min("hamming", alias_name="hamming"))
     from tag_ray.pipelines._util import small_result
@@ -642,7 +652,7 @@ def emb_lsh_near_pairs(sf_dir: str, threshold: float = 0.45,
     scale)."""
     import ray
 
-    from tag_ray.functions.grouping import coarse_grouped_apply
+    from tag_ray.functions.grouping import coarse_bucket_apply, run_pair_indices
     from tag_ray.functions.verify import verify_pairs_cosine
     from tag_ray.pipelines.embeddings import _emb_matrix
 
@@ -688,15 +698,12 @@ def emb_lsh_near_pairs(sf_dir: str, threshold: float = 0.45,
                              batch_format="pyarrow",
                              concurrency=scale_concurrency(None))
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g["vec_id"].to_numpy())
-        if ids.size < 2 or ids.size > max_bucket:  # skew guard (approx path)
-            return pd.DataFrame({"vec_id_a": pd.Series([], dtype="int64"),
-                                 "vec_id_b": pd.Series([], dtype="int64")})
-        a, b = np.triu_indices(ids.size, k=1)
-        return pd.DataFrame({"vec_id_a": ids[a], "vec_id_b": ids[b]})
+    def pair_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ti, bk, ids = _sorted_dedup_runs(g, ["table_id", "bucket"], "vec_id")
+        pi, pj = run_pair_indices([ti, bk], max_size=max_bucket)  # skew guard
+        return pd.DataFrame({"vec_id_a": ids[pi], "vec_id_b": ids[pj]})
 
-    cand = (coarse_grouped_apply(banded, ["table_id", "bucket"], pairs)
+    cand = (coarse_bucket_apply(banded, ["table_id", "bucket"], pair_bucket)
             .groupby(["vec_id_a", "vec_id_b"])
             .aggregate(Count(alias_name="n_tables")))
     cand = cand.map_batches(

@@ -293,7 +293,7 @@ def doc_winnow_fingerprint_pairs(sf_dir: str, min_shared: int = 10,
     substring pairs the whole corpus quadratically."""
     import ray.data as rd
 
-    from tag_ray.functions.grouping import coarse_grouped_apply
+    from tag_ray.functions.grouping import coarse_bucket_apply, run_pair_indices
     from ray.data.aggregate import Count
 
     docs = table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -312,21 +312,24 @@ def doc_winnow_fingerprint_pairs(sf_dir: str, min_shared: int = 10,
             "fp": pa.array(np.concatenate(fps_out)),
             "doc_id": pa.array(np.concatenate(ids_out))})
 
-    def posting_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g["doc_id"].to_numpy())
-        if ids.size < 2 or ids.size > max_df:  # boilerplate cutoff
-            return pd.DataFrame({"doc_id_a": [], "doc_id_b": []})
-        a, b = np.triu_indices(ids.size, k=1)
-        return pd.DataFrame({"doc_id_a": ids[a], "doc_id_b": ids[b]})
+    def posting_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # whole-bucket vectorized: one sort + run-detect over every
+        # fingerprint's posting list at once; lists longer than max_df
+        # are boilerplate and dropped inside run_pair_indices
+        from tag_ray.pipelines.dedup import _sorted_dedup_runs
+
+        fp, ids = _sorted_dedup_runs(g, ["fp"], "doc_id")
+        pi, pj = run_pair_indices([fp], max_size=max_df)
+        return pd.DataFrame({"doc_id_a": ids[pi], "doc_id_b": ids[pj]})
 
     import pyarrow.compute as pc
 
     # threshold INSIDE the dataset: only pairs sharing >= min_shared
     # fingerprints (small by construction) reach the driver — the raw
     # shared-pair relation is unbounded at corpus scale (VERDICT r1).
-    shared = (coarse_grouped_apply(
+    shared = (coarse_bucket_apply(
                   docs.map_batches(explode, batch_format="pyarrow"),
-                  ["fp"], posting_pairs)
+                  ["fp"], posting_bucket)
               .groupby(["doc_id_a", "doc_id_b"])
               .aggregate(Count(alias_name="n_shared"))
               .map_batches(lambda b: b.filter(
