@@ -69,13 +69,17 @@ def connected_components(edges: rd.Dataset, a: str, b: str,
             "node": pa.array(nodes, pa.int64()),
             "component": pa.array([labels_map[n] for n in nodes], pa.int64())}))
 
-    nodes = (
+    from tag_ray.functions.grouping import grouped_aggregate
+
+    # grouped_aggregate throughout: node cardinality = corpus size, the
+    # exact regime where native groupby.aggregate pays Python per group
+    nodes = grouped_aggregate(
         e.map_batches(
             lambda t: pa.Table.from_pydict(
                 {"node": pa.concat_arrays(
                     [t["src"].combine_chunks(), t["dst"].combine_chunks()])}),
-            batch_format="pyarrow")
-        .groupby("node").aggregate(Min("node", alias_name="label")))
+            batch_format="pyarrow"),
+        ["node"], {"label": ("node", "min")})
     labels = nodes.materialize()
 
     prev_sum = None
@@ -99,9 +103,8 @@ def connected_components(edges: rd.Dataset, a: str, b: str,
             })
 
         proposals = with_both.map_batches(emit, batch_format="pyarrow")
-        labels = proposals.union(labels) \
-            .groupby("node").aggregate(Min("label", alias_name="label")) \
-            .materialize()
+        labels = grouped_aggregate(proposals.union(labels), ["node"],
+                                   {"label": ("label", "min")}).materialize()
 
         # pointer jumping: label ← label(label), halving chain depth per
         # round → O(log diameter) total rounds instead of O(diameter)

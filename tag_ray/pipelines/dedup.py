@@ -41,9 +41,13 @@ def doc_exact_dup_groups(sf_dir: str) -> rd.Dataset:
         return pa.Table.from_pydict(
             {"fingerprint": pa.array(fps, pa.string()), "doc_id": b["doc_id"]})
 
-    groups = (docs.map_batches(fp, batch_format="pyarrow")
-              .groupby("fingerprint")
-              .aggregate(Count(alias_name="n"), Min("doc_id", alias_name="keep_doc_id")))
+    from tag_ray.functions.grouping import grouped_aggregate
+
+    # grouped_aggregate, not native groupby: fingerprints are distinct
+    # per unique text, so group cardinality ~ corpus size
+    groups = grouped_aggregate(
+        docs.map_batches(fp, batch_format="pyarrow"), ["fingerprint"],
+        {"n": (None, "count"), "keep_doc_id": ("doc_id", "min")})
     import pyarrow.compute as pc
 
     from tag_ray.pipelines._util import small_result
@@ -220,10 +224,12 @@ def doc_minhash_candidates(docs: rd.Dataset, num_perm: int = 128,
         pi, pj = run_pair_indices([bi, bv], max_size=10_000)  # skew guard
         return pd.DataFrame({"doc_id_a": ids[pi], "doc_id_b": ids[pj]})
 
-    from tag_ray.functions.grouping import coarse_bucket_apply, run_pair_indices
+    from tag_ray.functions.grouping import (coarse_bucket_apply,
+                                            grouped_aggregate, run_pair_indices)
 
     cand = coarse_bucket_apply(banded, ["band_id", "band_val"], pair_bucket)
-    return cand.groupby(["doc_id_a", "doc_id_b"]).aggregate(Count(alias_name="n_bands"))
+    return grouped_aggregate(cand, ["doc_id_a", "doc_id_b"],
+                             {"n_bands": (None, "count")})
 
 
 _EMPTY_PAIRS = {"doc_id_a": "int64", "doc_id_b": "int64",
@@ -398,14 +404,16 @@ def doc_ngram_jaccard_near_dups(sf_dir: str, threshold: float = 0.7,
         return pd.DataFrame({"doc_id_a": ids[pi][keep],
                              "doc_id_b": ids[pj][keep]})
 
-    from tag_ray.functions.grouping import coarse_bucket_apply, run_pair_indices
+    from tag_ray.functions.grouping import (coarse_bucket_apply,
+                                            grouped_aggregate, run_pair_indices)
 
-    cand = (coarse_bucket_apply(
-                docs.map_batches(prefix_rows, fn_constructor_kwargs={"h": df_handle},
-                                 batch_format="pyarrow",
-                                 concurrency=scale_concurrency(None)),
-                ["gram"], posting_bucket)
-            .groupby(["doc_id_a", "doc_id_b"]).aggregate(Count(alias_name="n")))
+    cand = grouped_aggregate(
+        coarse_bucket_apply(
+            docs.map_batches(prefix_rows, fn_constructor_kwargs={"h": df_handle},
+                             batch_format="pyarrow",
+                             concurrency=scale_concurrency(None)),
+            ["gram"], posting_bucket),
+        ["doc_id_a", "doc_id_b"], {"n": (None, "count")})
     return _verified_jaccard_pairs(docs, cand, t, shingle_k)
 
 
@@ -523,13 +531,14 @@ def doc_simhash_near_dups(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
                              "doc_id_b": ids[pj][keep],
                              "hamming": d[keep].astype("int64")})
 
-    from tag_ray.functions.grouping import coarse_bucket_apply, run_pair_indices
+    from tag_ray.functions.grouping import (coarse_bucket_apply,
+                                            grouped_aggregate, run_pair_indices)
 
     cand = coarse_bucket_apply(
         sh.map_batches(explode, batch_format="pyarrow"),
         ["band_id", "band_val"], pair_bucket)
-    uniq = cand.groupby(["doc_id_a", "doc_id_b"]).aggregate(
-        Min("hamming", alias_name="hamming"))
+    uniq = grouped_aggregate(cand, ["doc_id_a", "doc_id_b"],
+                             {"hamming": ("hamming", "min")})
     from tag_ray.pipelines._util import small_result
     return small_result(
         uniq, {"doc_id_a": "int64", "doc_id_b": "int64", "hamming": "int64"})
@@ -652,7 +661,8 @@ def emb_lsh_near_pairs(sf_dir: str, threshold: float = 0.45,
     scale)."""
     import ray
 
-    from tag_ray.functions.grouping import coarse_bucket_apply, run_pair_indices
+    from tag_ray.functions.grouping import (coarse_bucket_apply,
+                                            grouped_aggregate, run_pair_indices)
     from tag_ray.functions.verify import verify_pairs_cosine
     from tag_ray.pipelines.embeddings import _emb_matrix
 
@@ -703,9 +713,9 @@ def emb_lsh_near_pairs(sf_dir: str, threshold: float = 0.45,
         pi, pj = run_pair_indices([ti, bk], max_size=max_bucket)  # skew guard
         return pd.DataFrame({"vec_id_a": ids[pi], "vec_id_b": ids[pj]})
 
-    cand = (coarse_bucket_apply(banded, ["table_id", "bucket"], pair_bucket)
-            .groupby(["vec_id_a", "vec_id_b"])
-            .aggregate(Count(alias_name="n_tables")))
+    cand = grouped_aggregate(
+        coarse_bucket_apply(banded, ["table_id", "bucket"], pair_bucket),
+        ["vec_id_a", "vec_id_b"], {"n_tables": (None, "count")})
     cand = cand.map_batches(
         lambda tt: pa.Table.from_pydict({
             "vec_id_a": tt["vec_id_a"].cast(pa.int64()),

@@ -123,8 +123,12 @@ def q3_revenue_topk(sf_dir: str) -> pd.DataFrame:
             "rev_c": pa.array(_cents(price * (1.0 - disc))),
         })
 
-    rev = (li.map_batches(derive, batch_format="pyarrow")
-           .groupby("l_orderkey").aggregate(Sum("rev_c", alias_name="rev_c")))
+    from tag_ray.functions.grouping import grouped_aggregate
+
+    # grouped_aggregate, not native groupby: orderkey-cardinality keys;
+    # rev_c is integer cents so the sum stays bit-exact vs the oracle
+    rev = grouped_aggregate(li.map_batches(derive, batch_format="pyarrow"),
+                            ["l_orderkey"], {"rev_c": ("rev_c", "sum")})
     orders = table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
     joined = rev.join(orders, "inner", num_partitions=join_num_partitions(),
                       on=("l_orderkey",), right_on=("o_orderkey",))
@@ -254,9 +258,11 @@ def top_customers(sf_dir: str) -> pd.DataFrame:
             "tp_c": pa.array(_cents(b["o_totalprice"].to_numpy(zero_copy_only=False))),
         })
 
-    spend = (orders.map_batches(derive, batch_format="pyarrow")
-             .groupby("o_custkey")
-             .aggregate(Sum("tp_c", alias_name="tp_c"), Count(alias_name="n_orders")))
+    from tag_ray.functions.grouping import grouped_aggregate
+
+    spend = grouped_aggregate(
+        orders.map_batches(derive, batch_format="pyarrow"), ["o_custkey"],
+        {"tp_c": ("tp_c", "sum"), "n_orders": (None, "count")})
     top = spend.sort(["tp_c", "o_custkey"], descending=[True, False]).limit(10).to_pandas()
     import pyarrow.parquet as pq
     from tag_ray.sources import table_path
@@ -318,8 +324,10 @@ WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
 
 
 def uniqueness_orderkey(sf_dir: str) -> rd.Dataset:
-    counts = (table(sf_dir, "orders", columns=["o_orderkey"])
-              .groupby("o_orderkey").aggregate(Count(alias_name="n")))
+    from tag_ray.functions.grouping import grouped_aggregate
+
+    counts = grouped_aggregate(table(sf_dir, "orders", columns=["o_orderkey"]),
+                               ["o_orderkey"], {"n": (None, "count")})
     from tag_ray.pipelines._util import small_result
     return small_result(
         counts.map_batches(lambda b: b.filter(pc.greater(b["n"], 1)),
@@ -379,9 +387,12 @@ def events_hourly(sf_dir: str) -> rd.Dataset:
             "value_c": pa.array(_cents(b["value"].to_numpy(zero_copy_only=False))),
         })
 
-    agg = (ev.map_batches(derive, batch_format="pyarrow")
-           .groupby(["event_type", "hour"])
-           .aggregate(Count(alias_name="n"), Sum("value_c", alias_name="sum_c")))
+    from tag_ray.functions.grouping import grouped_aggregate
+
+    agg = grouped_aggregate(
+        ev.map_batches(derive, batch_format="pyarrow"),
+        ["event_type", "hour"],
+        {"n": (None, "count"), "sum_c": ("value_c", "sum")})
 
     def finalize(b: pa.Table) -> pa.Table:
         n = b["n"].to_numpy(zero_copy_only=False)
@@ -458,9 +469,12 @@ def events_sliding(sf_dir: str, window_hours: int = 2,
                 b["value"].to_numpy(zero_copy_only=False))[idx]),
         })
 
-    agg = (ev.map_batches(explode, batch_format="pyarrow")
-           .groupby(["event_type", "win_idx"])
-           .aggregate(Count(alias_name="n"), Sum("value_c", alias_name="sum_c")))
+    from tag_ray.functions.grouping import grouped_aggregate
+
+    agg = grouped_aggregate(
+        ev.map_batches(explode, batch_format="pyarrow"),
+        ["event_type", "win_idx"],
+        {"n": (None, "count"), "sum_c": ("value_c", "sum")})
 
     def finalize(b: pa.Table) -> pa.Table:
         return pa.Table.from_pydict({
@@ -678,8 +692,10 @@ SELECT nationkey, COUNT(*) AS n_refs FROM (
 def big_orders(sf_dir: str, min_items: int = 6) -> rd.Dataset:
     import pyarrow.compute as pc
 
+    from tag_ray.functions.grouping import grouped_aggregate
+
     li = table(sf_dir, "lineitem", columns=["l_orderkey"])
-    agg = li.groupby("l_orderkey").aggregate(Count(alias_name="n_items"))
+    agg = grouped_aggregate(li, ["l_orderkey"], {"n_items": (None, "count")})
     return agg.map_batches(
         lambda b: b.filter(pc.greater_equal(b["n_items"], min_items)),
         batch_format="pyarrow")

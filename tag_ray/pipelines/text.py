@@ -116,8 +116,12 @@ def doc_word_topk(sf_dir: str, k: int = 20) -> pd.DataFrame:
             "cnt": pa.array(list(c.values()), pa.int64()),
         })
 
-    counts = (docs.map_batches(partial_counts, batch_format="pyarrow")
-              .groupby("word").aggregate(Sum("cnt", alias_name="n")))
+    from tag_ray.functions.grouping import grouped_aggregate
+
+    # grouped_aggregate, not native groupby: vocabulary-cardinality keys
+    counts = grouped_aggregate(
+        docs.map_batches(partial_counts, batch_format="pyarrow"),
+        ["word"], {"n": ("cnt", "sum")})
     top = counts.sort(["n", "word"], descending=[True, False]).limit(k).to_pandas()
     top["n"] = top["n"].astype("int64")
     return top[["word", "n"]]
@@ -327,11 +331,13 @@ def doc_winnow_fingerprint_pairs(sf_dir: str, min_shared: int = 10,
     # threshold INSIDE the dataset: only pairs sharing >= min_shared
     # fingerprints (small by construction) reach the driver — the raw
     # shared-pair relation is unbounded at corpus scale (VERDICT r1).
-    shared = (coarse_bucket_apply(
-                  docs.map_batches(explode, batch_format="pyarrow"),
-                  ["fp"], posting_bucket)
-              .groupby(["doc_id_a", "doc_id_b"])
-              .aggregate(Count(alias_name="n_shared"))
+    from tag_ray.functions.grouping import grouped_aggregate
+
+    shared = (grouped_aggregate(
+                  coarse_bucket_apply(
+                      docs.map_batches(explode, batch_format="pyarrow"),
+                      ["fp"], posting_bucket),
+                  ["doc_id_a", "doc_id_b"], {"n_shared": (None, "count")})
               .map_batches(lambda b: b.filter(
                   pc.greater_equal(b["n_shared"], min_shared)),
                   batch_format="pyarrow")

@@ -255,8 +255,12 @@ def near_dup_violations(images: rd.Dataset,
         lambda g: _nd_members_bucket(g.drop(columns=[COARSE_COL]),
                                      cfg.near_dup_max_hamming),
         batch_format="pandas")
-    # distinct member ids (an id can appear via several bands)
-    distinct = members.groupby("image_id").aggregate(Min("partition_id", alias_name="pid"))
+    # distinct member ids (an id can appear via several bands);
+    # grouped_aggregate — image_id cardinality scales with the corpus
+    from tag_ray.functions.grouping import grouped_aggregate
+
+    distinct = grouped_aggregate(members, ["image_id"],
+                                 {"pid": ("partition_id", "min")})
 
     def to_violations(batch: pa.Table) -> pa.Table:
         return pa.Table.from_pydict(

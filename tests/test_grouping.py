@@ -39,6 +39,34 @@ def test_matches_plain_groupby(ray_session):
     pd.testing.assert_frame_equal(key(got), key(ref))
 
 
+def test_grouped_aggregate_matches_native(ray_session):
+    """grouped_aggregate must equal Dataset.groupby().aggregate() —
+    it replaces the native path everywhere keys are high-cardinality
+    (native pays a Python accumulate per distinct group)."""
+    from ray.data.aggregate import Count, Min, Sum
+
+    from tag_ray.functions.grouping import grouped_aggregate
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    tbl = pa.Table.from_pydict({
+        "k": rng.integers(0, 900, n),
+        "s": rng.choice(np.array(["ab", "cd", "ef", "gh"]), n),
+        "v": rng.integers(-50, 50, n),
+    })
+    got = grouped_aggregate(
+        rd.from_arrow(tbl), ["k", "s"],
+        {"n": (None, "count"), "v_sum": ("v", "sum"), "v_min": ("v", "min")},
+        num_buckets=13).to_pandas()
+    ref = (rd.from_arrow(tbl).groupby(["k", "s"])
+           .aggregate(Count(alias_name="n"), Sum("v", alias_name="v_sum"),
+                      Min("v", alias_name="v_min")).to_pandas())
+    key = lambda df: (df.sort_values(["k", "s"]).reset_index(drop=True)
+                      [["k", "s", "n", "v_sum", "v_min"]]
+                      .astype({"n": "int64", "v_sum": "int64", "v_min": "int64"}))
+    pd.testing.assert_frame_equal(key(got), key(ref))
+
+
 def test_min_size_skips_singletons(ray_session):
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g["id"].to_numpy())
