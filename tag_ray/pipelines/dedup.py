@@ -240,13 +240,15 @@ def _empty_pairs_df(cols: dict[str, str] = _EMPTY_PAIRS) -> pd.DataFrame:
     return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in cols.items()})
 
 
-def _verified_jaccard_pairs(docs: rd.Dataset, cand: rd.Dataset,
-                            threshold: float, shingle_k: int) -> pd.DataFrame:
+def _verified_jaccard_pairs_ds(docs: rd.Dataset, cand: rd.Dataset,
+                               threshold: float,
+                               shingle_k: int) -> rd.Dataset | None:
     """Distributed exact-Jaccard verification of candidate pairs
     (functions/verify.py): candidates stay a Dataset, features are
     recomputed in an actor pool over the semi-joined docs, pairs are
-    scored inside map_batches — nothing but the final thresholded pair
-    set (small by construction) ever reaches the driver."""
+    scored inside map_batches. Returns the verified-pairs DATASET
+    (None when there are no candidates) so downstream consumers —
+    e.g. connected components — keep the whole chain driver-free."""
     from tag_ray.functions.verify import verify_pairs_jaccard
 
     # int64 keys: upstream map_groups stages can emit empty pandas blocks
@@ -257,11 +259,21 @@ def _verified_jaccard_pairs(docs: rd.Dataset, cand: rd.Dataset,
             "doc_id_b": tt["doc_id_b"].cast(pa.int64())}),
         batch_format="pyarrow").materialize()
     if cand.count() == 0:
-        return _empty_pairs_df()
+        return None
     k = shingle_k
-    out = verify_pairs_jaccard(
+    return verify_pairs_jaccard(
         docs, cand, threshold,
-        feature_fn=lambda t: _shingle_hashes(t or "", k)).to_pandas()
+        feature_fn=lambda t: _shingle_hashes(t or "", k))
+
+
+def _verified_jaccard_pairs(docs: rd.Dataset, cand: rd.Dataset,
+                            threshold: float, shingle_k: int) -> pd.DataFrame:
+    """Collected form of ``_verified_jaccard_pairs_ds`` — only the final
+    thresholded pair set (small by construction) reaches the driver."""
+    ds = _verified_jaccard_pairs_ds(docs, cand, threshold, shingle_k)
+    if ds is None:
+        return _empty_pairs_df()
+    out = ds.to_pandas()
     if out.empty:
         return _empty_pairs_df()
     return out.sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True) \
@@ -743,13 +755,17 @@ def doc_near_dup_clusters(sf_dir: str, jaccard_threshold: float = 0.5) -> pd.Dat
 
     from tag_ray.functions.components import connected_components
 
-    pairs = doc_minhash_near_dups(sf_dir, jaccard_threshold)
-    if pairs.empty:
+    # verified pairs stay a Dataset all the way into the components
+    # stage — the candidate → verify → cluster chain never touches the
+    # driver (VERDICT r1 stretch #10)
+    docs = table(sf_dir, "documents", columns=["doc_id", "text"])
+    cand = doc_minhash_candidates(docs)
+    pairs_ds = _verified_jaccard_pairs_ds(docs, cand, jaccard_threshold, 3)
+    if pairs_ds is None:
         return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                              "cluster_id": pd.Series([], dtype="int64"),
                              "keep": pd.Series([], dtype="bool")})
-    edges = rd.from_arrow(pa.Table.from_pandas(
-        pairs[["doc_id_a", "doc_id_b"]], preserve_index=False))
+    edges = pairs_ds.select_columns(["doc_id_a", "doc_id_b"])
     comp = connected_components(edges, "doc_id_a", "doc_id_b").to_pandas()
     comp = comp.rename(columns={"node": "doc_id", "component": "cluster_id"})
     comp["keep"] = comp["doc_id"] == comp["cluster_id"]
