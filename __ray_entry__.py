@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_stats": R.events_type_stats,
         "events_sliding": R.events_sliding,
         "events_sessions": R.events_sessions,
+        "events_asof_join": R.events_asof_join,
         "stats_lineitem_global": R.stats_lineitem_global,
         "cust_with_open_orders": R.cust_with_open_orders,
         "active_party_keys": R.active_party_keys,
@@ -113,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_null_report": T.doc_null_report,
         # --- dedup family ---
         "doc_exact_dup_groups": D.doc_exact_dup_groups,
+        "doc_dedup_keep_first": D.doc_dedup_keep_first,
         "doc_minhash_near_dups": D.doc_minhash_near_dups,
         "doc_ngram_jaccard_near_dups": D.doc_ngram_jaccard_near_dups,
         "doc_near_dup_clusters": D.doc_near_dup_clusters,
@@ -148,6 +150,7 @@ def oracle_sql() -> dict[str, str]:
         "events_type_stats": R.EVENTS_TYPE_STATS_SQL,
         "events_sliding": R.events_sliding_sql(),
         "events_sessions": R.EVENTS_SESSIONS_SQL,
+        "events_asof_join": R.EVENTS_ASOF_SQL,
         "stats_lineitem_global": R.STATS_LINEITEM_SQL,
         "cust_with_open_orders": R.SEMI_JOIN_SQL,
         "active_party_keys": R.ACTIVE_PARTY_SQL,
@@ -162,6 +165,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_split_assign": T.SPLIT_ASSIGN_SQL,
         "doc_null_report": T.NULL_REPORT_SQL,
         "doc_exact_dup_groups": D.EXACT_DUP_SQL,
+        "doc_dedup_keep_first": D.DEDUP_KEEP_FIRST_SQL,
         "doc_ngram_jaccard_near_dups": D.ngram_jaccard_sql(),
         "emb_near_pairs": D.emb_near_pairs_sql(),
         "emb_norms": E.NORMS_SQL,

@@ -63,6 +63,30 @@ FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
 """
 
 
+def doc_dedup_keep_first(sf_dir: str) -> rd.Dataset:
+    """Exact-dedup APPLY (not just detection): the surviving doc_id set
+    after keep-first dedup — min doc_id per distinct text. This is the
+    keep-list a training pipeline semi-joins the corpus against; only
+    (fingerprint, doc_id) rows enter the shuffle, never text."""
+    from tag_ray.functions.grouping import grouped_aggregate
+
+    docs = table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fp(b: pa.Table) -> pa.Table:
+        fps = [hashlib.md5(t.encode()).hexdigest() for t in b["text"].to_pylist()]
+        return pa.Table.from_pydict(
+            {"fingerprint": pa.array(fps, pa.string()), "doc_id": b["doc_id"]})
+
+    keeps = grouped_aggregate(docs.map_batches(fp, batch_format="pyarrow"),
+                              ["fingerprint"], {"doc_id": ("doc_id", "min")})
+    return keeps.select_columns(["doc_id"])
+
+
+DEDUP_KEEP_FIRST_SQL = """
+SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+"""
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dup
 
@@ -330,14 +354,21 @@ def _sample_gram_df(sf_dir: str, shingle_k: int):
 
     from tag_ray.sources import table_path
 
+    # stripe the sample across row groups (the head of a sorted/clustered
+    # file is a biased sample of gram frequencies — VERDICT r1)
     pf = pq.ParquetFile(table_path(sf_dir, "documents"))
-    batches = pf.iter_batches(batch_size=_DF_SAMPLE_DOCS, columns=["text"])
-    texts = next(batches, None)
+    n_rg = max(pf.metadata.num_row_groups, 1)
+    per_rg = max(1, _DF_SAMPLE_DOCS // n_rg)
+    texts: list[str] = []
+    for rg in range(n_rg):
+        texts.extend(pf.read_row_group(rg, columns=["text"])
+                     ["text"].to_pylist()[:per_rg])
+        if len(texts) >= _DF_SAMPLE_DOCS:
+            break
     counts: dict[int, int] = {}
-    if texts is not None:
-        for text in texts["text"].to_pylist():
-            for h in _shingle_hashes(text or "", shingle_k).tolist():
-                counts[h] = counts.get(h, 0) + 1
+    for text in texts:
+        for h in _shingle_hashes(text or "", shingle_k).tolist():
+            counts[h] = counts.get(h, 0) + 1
     common = sorted(h for h, c in counts.items() if c >= _DF_MIN_COUNT)
     keys = np.array(common, dtype=np.uint64)
     vals = np.array([counts[h] for h in common], dtype=np.int32)

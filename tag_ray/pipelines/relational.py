@@ -586,6 +586,67 @@ FROM s GROUP BY user_id, sid
 
 
 # ---------------------------------------------------------------------------
+# as-of join: each purchase event ↦ the user's latest signup at ts ≤ its ts
+
+
+def events_asof_join(sf_dir: str) -> rd.Dataset:
+    """Distributed AS-OF join within the events log (an operator Ray
+    Data lacks natively): for every ``purchase`` event, attach the
+    timestamp of the same user's most recent ``signup`` with
+    ``signup.ts <= purchase.ts`` (inner semantics — purchases with no
+    prior signup are dropped). Composition, not a shuffle join: both
+    sides are pruned and tagged in ONE pass over events, co-located by
+    a coarse hash bucket of ``user_id`` (every user lands wholly in one
+    bucket), and each bucket is resolved with a single vectorized
+    ``pd.merge_asof`` — per-bucket cost is one sort + one C-level merge,
+    and the exchange carries only (user_id, ts_us, event_id, side)
+    rows. Oracle: DuckDB ``ASOF JOIN``."""
+    from tag_ray.functions.grouping import coarse_bucket_apply
+
+    ev = table(sf_dir, "events", columns=["event_id", "ts", "user_id",
+                                          "event_type"])
+
+    def sides(b: pa.Table) -> pa.Table:
+        et = b["event_type"]
+        keep = pc.or_(pc.equal(et, "purchase"), pc.equal(et, "signup"))
+        t = b.filter(keep)
+        return pa.Table.from_pydict({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "ts_us": t["ts"].cast(pa.int64()),
+            "side": pc.cast(pc.equal(t["event_type"], "signup"), pa.int8()),
+        })
+
+    def bucket_asof(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["side"] == 0].sort_values("ts_us", kind="mergesort")
+        s = g[g["side"] == 1].sort_values("ts_us", kind="mergesort")
+        s = pd.DataFrame({"user_id": s["user_id"], "ts_us": s["ts_us"],
+                          "signup_ts_us": s["ts_us"]})
+        out = pd.merge_asof(p[["event_id", "user_id", "ts_us"]], s,
+                            on="ts_us", by="user_id", direction="backward",
+                            allow_exact_matches=True)
+        out = out.dropna(subset=["signup_ts_us"])  # inner semantics
+        return pd.DataFrame({
+            "event_id": out["event_id"].astype("int64"),
+            "user_id": out["user_id"].astype("int64"),
+            "ts_us": out["ts_us"].astype("int64"),
+            "signup_ts_us": out["signup_ts_us"].astype("int64"),
+        })
+
+    return coarse_bucket_apply(ev.map_batches(sides, batch_format="pyarrow"),
+                               ["user_id"], bucket_asof)
+
+
+EVENTS_ASOF_SQL = """
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+       epoch_us(s.ts) AS signup_ts_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+  ON p.user_id = s.user_id AND p.ts >= s.ts
+"""
+
+
+# ---------------------------------------------------------------------------
 # global single-row stats (Welford path cross-checked by SQL aggregates)
 
 
