@@ -155,16 +155,18 @@ def main() -> None:
     sf = os.path.basename(os.path.normpath(args.sf_dir))
 
     if args.child:
-        # fresh-process flagship run for the scaling protocol.
-        # One UNTIMED warm-up sweep first: actor-pool spin-up and module
-        # imports are per-JOB costs that amortize to zero at the north
-        # metric's 10^12-row scale, so steady-state throughput is the
-        # honest scaling quantity. Then SCALING_TRIALS timed sweeps —
-        # the median kills the run-to-run hypervisor-steal noise that
-        # made the round-1 single-trial number irreproducible.
+        # flagship child for the scaling protocol: warm up (untimed —
+        # per-JOB costs amortize to zero at the north metric's
+        # 10^12-row scale), announce READY, then run one timed sweep
+        # per "go" line on stdin. The driver spawns one child at a time
+        # but ALTERNATES the lo/hi levels so each trial pair lands in
+        # the same hypervisor-steal epoch — this VM's throughput swings
+        # ±50% on multi-minute epochs, which sequential per-level runs
+        # cannot cancel (measured; see BASELINE.md).
         import ray
 
-        ray.init(address="local", num_cpus=args.cpus, include_dashboard=False)
+        ray.init(address="local", num_cpus=args.cpus, include_dashboard=False,
+                 object_store_memory=16 * 1024 ** 3)
         from tag_ray.fixtures import cached_corpus
         from tag_ray.pipelines import validate as V
 
@@ -176,13 +178,12 @@ def main() -> None:
             return time.perf_counter() - t0
 
         sweep()  # warm-up (untimed)
-        secs = [round(sweep(), 3) for _ in range(SCALING_TRIALS)]
+        print("READY", flush=True)
+        for line in sys.stdin:
+            if line.strip() != "go":
+                break
+            print(f"SEC {sweep():.3f}", flush=True)
         ray.shutdown()
-        med = _median(secs)
-        print(json.dumps({"sec_trials": secs, "sec_median": round(med, 3),
-                          "images_per_sec": round(SCALING_ROWS / med, 2),
-                          "images_per_sec_trials": [
-                              round(SCALING_ROWS / s, 2) for s in secs]}))
         return
 
     if args.scaling:
@@ -190,27 +191,57 @@ def main() -> None:
         # generate the scaling corpus once so the children hit the cache
         from tag_ray.fixtures import cached_corpus
         cached_corpus(n_rows=SCALING_ROWS, n_partitions=64, seed=42)
-        out = {}
-        for cpus in (lo, hi):
-            p = subprocess.run(
+
+        def _wait(p, prefix):
+            while True:
+                line = p.stdout.readline()
+                if not line:
+                    raise RuntimeError("scaling child exited early")
+                if line.startswith(prefix):
+                    return line.strip()
+
+        def _one_sweep(cpus: int) -> float:
+            # fresh process per sweep: co-resident Ray sessions measurably
+            # slow each other (~2× on the 32-CPU sweep even with the other
+            # session idle), so children run strictly one at a time
+            p = subprocess.Popen(
                 [sys.executable, os.path.abspath(__file__), "--child",
                  "--sf-dir", args.sf_dir, "--cpus", str(cpus)],
-                capture_output=True, text=True, check=True)
-            out[cpus] = json.loads(p.stdout.strip().splitlines()[-1])
+                stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True,
+                bufsize=1)
+            _wait(p, "READY")
+            p.stdin.write("go\n")
+            p.stdin.flush()
+            sec = float(_wait(p, "SEC").split()[1])
+            p.stdin.write("quit\n")
+            p.stdin.flush()
+            p.wait()
+            return sec
+
+        secs: dict[int, list[float]] = {lo: [], hi: []}
+        for _ in range(SCALING_TRIALS):
+            for cpus in (lo, hi):  # back-to-back: one pair per epoch
+                secs[cpus].append(_one_sweep(cpus))
         ratio = hi / lo
-        eff = out[hi]["images_per_sec"] / (ratio * out[lo]["images_per_sec"])
+        pair_effs = [secs[lo][i] / (ratio * secs[hi][i])
+                     for i in range(SCALING_TRIALS)]
+        eff = _median(pair_effs)
         hw = _hw_ceiling(lo, hi)
         print(json.dumps({
-            "metric": "steady-state scaling efficiency (fresh ray.init at "
-                      f"{lo} vs {hi} logical CPUs; sandbox stand-in for N vs 4N "
-                      "nodes; one untimed warm-up then median of "
-                      f"{SCALING_TRIALS} timed sweeps per process)",
+            "metric": "steady-state scaling efficiency (fresh process per "
+                      f"sweep at {lo} vs {hi} logical CPUs, run strictly "
+                      "one at a time but alternated so each trial PAIR "
+                      "lands in one hypervisor-steal epoch; sandbox "
+                      "stand-in for N vs 4N nodes; per-process untimed "
+                      f"warm-up sweep; median of {SCALING_TRIALS} "
+                      "per-pair efficiencies)",
             "value": round(eff, 3), "unit": "efficiency",
             "rows": SCALING_ROWS,
-            "throughput_lo": out[lo]["images_per_sec"],
-            "throughput_hi": out[hi]["images_per_sec"],
-            "trials_lo": out[lo]["images_per_sec_trials"],
-            "trials_hi": out[hi]["images_per_sec_trials"],
+            "pair_efficiencies": [round(e, 3) for e in pair_effs],
+            "throughput_lo": round(SCALING_ROWS / _median(secs[lo]), 2),
+            "throughput_hi": round(SCALING_ROWS / _median(secs[hi]), 2),
+            "trials_lo": [round(SCALING_ROWS / s, 2) for s in secs[lo]],
+            "trials_hi": [round(SCALING_ROWS / s, 2) for s in secs[hi]],
             "num_cpus_lo": lo, "num_cpus_hi": hi,
             "physical_cpus": os.cpu_count(),
             # Same-protocol ceiling: the flagship's own decode+phash

@@ -63,6 +63,37 @@ class _Emit:
         )
 
 
+class RefIndex:
+    """Vectorized reference lookup: sorted fixed-width id array plus
+    aligned md5 bytes, queried with one ``np.searchsorted`` per batch.
+
+    Replaces the per-worker Python dict of the broadcast table — at
+    800k reference rows the dict held ~1.6M boxed objects (every gen-2
+    GC pass scanned them under the allocation-heavy decode loop) and
+    cost ~1.3 s to build per worker; the arrays are two flat buffers,
+    build in ~0.1 s, and the id comparison is C memcmp."""
+
+    __slots__ = ("ids", "md5", "has")
+
+    def __init__(self, tbl: pa.Table):
+        ids = np.asarray(tbl["image_id"].to_pylist(), dtype="U")
+        md5v = tbl["caption_md5"].to_pylist()
+        has = np.array([m is not None for m in md5v], dtype=bool)
+        md5 = np.asarray([m or "" for m in md5v], dtype="S32")
+        order = np.argsort(ids, kind="stable")
+        self.ids = ids[order]
+        self.md5 = md5[order]
+        self.has = has[order]
+
+    def lookup(self, ids_list: list) -> tuple[np.ndarray, np.ndarray]:
+        """→ (present bool[n], index into the sorted arrays int64[n])."""
+        q = np.asarray(["" if x is None else x for x in ids_list], dtype="U")
+        if len(self.ids) == 0:
+            return np.zeros(len(q), dtype=bool), np.zeros(len(q), np.int64)
+        idx = np.minimum(np.searchsorted(self.ids, q), len(self.ids) - 1)
+        return self.ids[idx] == q, idx
+
+
 def validate_batch(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG,
                    ref_md5: dict[str, str | None] | None = None) -> pa.Table:
     """Run the full per-row suite on one Arrow batch → violations table.
@@ -157,7 +188,22 @@ def validate_batch(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG,
                 out.add(ids[i], parts[i], Check.PHASH_MISMATCH, f"hamming={int(d)}")
 
     # ---- referential + caption checks against broadcast lookup -----------
-    if ref_md5 is not None:
+    if isinstance(ref_md5, RefIndex):
+        caps = batch["caption"].to_pylist()
+        valid = np.array([x is not None for x in ids], dtype=bool)
+        present, idx = ref_md5.lookup(ids)
+        for i in np.flatnonzero(valid & ~present):
+            out.add(ids[i], parts[i], Check.REF_ORPHAN, "id not in reference table")
+        has_cap = np.array([c is not None for c in caps], dtype=bool)
+        hit = valid & present
+        hit[hit] &= ref_md5.has[idx[hit]]
+        for i in np.flatnonzero(hit & has_cap):
+            got = hashlib.md5(caps[i].encode()).hexdigest()
+            expect = ref_md5.md5[idx[i]].decode()
+            if got != expect:
+                out.add(ids[i], parts[i], Check.CAPTION_REF,
+                        f"md5={got[:8]} expected={expect[:8]}")
+    elif ref_md5 is not None:  # plain-dict form (library API compat)
         caps = batch["caption"].to_pylist()
         for i in range(n):
             if ids[i] is None:
@@ -174,8 +220,63 @@ def validate_batch(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG,
     return out.table()
 
 
+# Per-worker-process cache for the broadcast reference lookup used by
+# the TASK form of the row suite (make_row_suite_task). Ray reuses
+# worker processes across tasks, datasets and sweeps within a session,
+# so the dict build is paid once per worker per job — the same
+# amortization an actor's __init__ gives, without actor processes.
+# Keyed by the ObjectRef id and cleared on change, so it never holds
+# more than the current job's table.
+_REF_TASK_CACHE: dict[str, dict] = {}
+
+
+def make_row_suite_task(cfg: EngineConfig, ref_handle=None, registry=None):
+    """TASK form of the row suite — the default execution mode.
+
+    A plain function runs in Ray's shared warm worker pool: consecutive
+    sweeps reuse live workers instead of spawning a fresh actor pool
+    per Dataset. Measured at 32 CPUs on the 800k scaling corpus
+    (interleaved trials): tasks 18.7 → 15.0 → 13.3 s across sweeps as
+    workers warm, actors 18.8 / 19.2 / **43.9** s — the outlier is
+    actor churn (a new pool spinning up while the previous pool tears
+    down), the main source of trial-to-trial variance in the scaling
+    protocol. The broadcast lookup is fetched zero-copy and memoized
+    per worker via ``_REF_TASK_CACHE``."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ref = None
+        if ref_handle is not None:
+            import ray
+
+            # resolve the cache through the worker's OWN import of this
+            # module, not the closure's global: cloudpickle ships the
+            # closure by value, so its __globals__ are a fresh dict per
+            # task deserialization and a direct global reference misses
+            # once per task (measured: exactly one 1.3 s dict rebuild
+            # added to every 0.8 s task at 8 CPUs)
+            import tag_ray.checks.row_checks as _rc
+
+            key = ref_handle.hex()
+            ref = _rc._REF_TASK_CACHE.get(key)
+            if ref is None:
+                ref = RefIndex(ray.get(ref_handle))
+                _rc._REF_TASK_CACHE.clear()
+                _rc._REF_TASK_CACHE[key] = ref
+        out = validate_batch(batch, cfg, ref)
+        if registry is not None:
+            extra = registry.run(batch)
+            if extra is not None and extra.num_rows:
+                out = pa.concat_tables([out, extra])
+        return out
+
+    return fn
+
+
 class RowValidator:
-    """Actor-pool stage: ``map_batches(RowValidator, concurrency=N, ...)``.
+    """Actor-pool form of the row suite (``map_batches(RowValidator,
+    concurrency=N, ...)``) — kept for callers that pin an explicit
+    actor count (test determinism, per-actor memory caps); the default
+    path is ``make_row_suite_task``.
 
     __init__ runs once per actor (broadcast lookup fetched from the
     object store exactly once — SURVEY.md §2.4 J1 broadcast side); per
@@ -191,10 +292,9 @@ class RowValidator:
         self.registry = registry
         if ref_handle is not None:
             import ray
-            obj = ray.get(ref_handle) if not isinstance(ref_handle, dict) else ref_handle
+            obj = ref_handle if isinstance(ref_handle, dict) else ray.get(ref_handle)
             if isinstance(obj, pa.Table):
-                obj = dict(zip(obj["image_id"].to_pylist(),
-                               obj["caption_md5"].to_pylist()))
+                obj = RefIndex(obj)
             self.ref_md5 = obj
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -174,16 +174,23 @@ def run_pair_indices(sorted_keys: list[np.ndarray], min_size: int = 2,
     starts = np.flatnonzero(change)
     ends = np.r_[starts[1:], n]
     sizes = ends - starts
+    keep = sizes >= min_size
+    if max_size is not None:
+        keep &= sizes <= max_size
+    starts, sizes = starts[keep], sizes[keep]
+    if cap is not None:
+        sizes = np.minimum(sizes, cap)
+    # batch runs by SIZE CLASS: one np.triu_indices + one outer add per
+    # distinct run size, instead of one Python iteration per run — with
+    # dense 16-bit LSH bands a bucket holds ~100k+ runs of a handful of
+    # sizes, and the per-run loop was the stage's hot spot (29 s CPU at
+    # 8 CPUs on the 800k flagship corpus)
     pi, pj = [], []
-    for k in np.flatnonzero(sizes >= min_size):
-        sz = int(sizes[k])
-        if max_size is not None and sz > max_size:
-            continue
-        if cap is not None:
-            sz = min(sz, cap)
-        a, b = np.triu_indices(sz, k=1)
-        pi.append(a + starts[k])
-        pj.append(b + starts[k])
+    for s in np.unique(sizes):
+        rs = starts[sizes == s]
+        a, b = np.triu_indices(int(s), k=1)
+        pi.append((rs[:, None] + a[None, :]).ravel())
+        pj.append((rs[:, None] + b[None, :]).ravel())
     if not pi:
         return np.empty(0, np.int64), np.empty(0, np.int64)
     return np.concatenate(pi), np.concatenate(pj)

@@ -76,8 +76,8 @@ def run_shard(images_path: str, ref_path: str | None, out_dir: str,
     shutil.rmtree(shard_dir, ignore_errors=True)
 
     images = V.read_images(images_path, partitions=partitions)
-    ref = V.load_ref_table(ref_path) if ref_path else None
-    viols = V.row_violations(images, cfg, ref).materialize()
+    ref_handle = V.load_ref_handle(ref_path) if ref_path else None
+    viols = V.row_violations(images, cfg, ref_handle=ref_handle).materialize()
     viols.write_parquet(shard_dir)
 
     # mergeable sketch partials, keyed by partition (checkpoint artifact)

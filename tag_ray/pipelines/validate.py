@@ -70,37 +70,72 @@ def load_ref_table(path: str) -> pa.Table:
     return pq.read_table(path)
 
 
-def row_violations(images: rd.Dataset, cfg: EngineConfig = DEFAULT_CONFIG,
-                   ref_table: pa.Table | None = None) -> rd.Dataset:
-    """Stage 2: stateless suite as an actor pool; reference table broadcast
-    once via ray.put (J1 small-side pattern), fetched per actor not per batch.
+_REF_HANDLE_MEMO: dict = {}
 
-    Custom checks registered via checks/registry.py are snapshot here and
-    shipped to the actors by value — a user extension needs no edit to
-    the built-in suite (SURVEY.md §2.9)."""
+
+def load_ref_handle(path: str):
+    """Broadcast handle for the reference lookup table, memoized per
+    (path, mtime, Ray job): repeated sweeps/shards reuse ONE object-store
+    copy instead of re-putting tens of MB per run — and a stable handle
+    keeps each worker's lookup-dict cache (row_checks._REF_TASK_CACHE)
+    warm across sweeps instead of rebuilding it per sweep per worker."""
+    import os
+
+    jid = ray.get_runtime_context().get_job_id() if ray.is_initialized() else None
+    key = (os.path.abspath(path), os.path.getmtime(path), jid)
+    h = _REF_HANDLE_MEMO.get(key)
+    if h is None:
+        h = ray.put(load_ref_table(path).select(["image_id", "caption_md5"]))
+        _REF_HANDLE_MEMO.clear()
+        _REF_HANDLE_MEMO[key] = h
+    return h
+
+
+def row_violations(images: rd.Dataset, cfg: EngineConfig = DEFAULT_CONFIG,
+                   ref_table: pa.Table | None = None,
+                   ref_handle=None) -> rd.Dataset:
+    """Stage 2: stateless suite; reference table broadcast once via
+    ray.put (J1 small-side pattern), fetched once per worker not per
+    batch.
+
+    Default execution is a TASK pool over Ray's shared warm workers
+    (checks/row_checks.make_row_suite_task): successive sweeps reuse
+    live worker processes, where a per-Dataset actor pool pays spin-up
+    every run and its teardown/spin-up churn between consecutive sweeps
+    caused multi-10-second stalls (measured 43.9 s vs a 13-19 s sweep).
+    An explicit ``cfg.validate_concurrency`` still selects the actor
+    pool (tests pin it for determinism; per-actor memory caps).
+
+    Custom checks registered via checks/registry.py are snapshot here
+    and shipped to the workers by value — a user extension needs no
+    edit to the built-in suite (SURVEY.md §2.9)."""
     from tag_ray.checks.registry import DEFAULT_REGISTRY
 
-    kwargs = {"cfg": cfg}
-    if DEFAULT_REGISTRY.checks:
-        kwargs["registry"] = DEFAULT_REGISTRY
-    if ref_table is not None:
+    registry = DEFAULT_REGISTRY if DEFAULT_REGISTRY.checks else None
+    if ref_handle is None and ref_table is not None:
         # broadcast the Arrow table (zero-copy into the object store);
-        # each actor builds its lookup dict ONCE in __init__ — in
-        # parallel, instead of serially on the driver per run
-        kwargs["ref_handle"] = ray.put(
-            ref_table.select(["image_id", "caption_md5"]))
+        # each worker builds its lookup dict ONCE — in parallel,
+        # instead of serially on the driver per run
+        ref_handle = ray.put(ref_table.select(["image_id", "caption_md5"]))
     remote_args = {"num_cpus": cfg.validate_actor_num_cpus}
     if cfg.validate_actor_memory is not None:
         remote_args["memory"] = cfg.validate_actor_memory
+    common = {"batch_format": "pyarrow", "batch_size": cfg.validate_batch_size,
+              "zero_copy_batch": True, **remote_args}
+    if cfg.validate_concurrency is not None:
+        kwargs = {"cfg": cfg}
+        if registry is not None:
+            kwargs["registry"] = registry
+        if ref_handle is not None:
+            kwargs["ref_handle"] = ref_handle
+        return images.map_batches(
+            RowValidator, fn_constructor_kwargs=kwargs,
+            concurrency=scale_concurrency(cfg.validate_concurrency),
+            **common)
+    from tag_ray.checks.row_checks import make_row_suite_task
+
     return images.map_batches(
-        RowValidator,
-        fn_constructor_kwargs=kwargs,
-        batch_format="pyarrow",
-        batch_size=cfg.validate_batch_size,
-        zero_copy_batch=True,
-        concurrency=scale_concurrency(cfg.validate_concurrency, fixed_frac=0.75),
-        **remote_args,
-    )
+        make_row_suite_task(cfg, ref_handle, registry), **common)
 
 
 def dup_violations(images: rd.Dataset) -> rd.Dataset:
@@ -185,19 +220,12 @@ def _nd_members_bucket(g: pd.DataFrame, max_hamming: int,
             a[keep] for a in (band_id, band_val, ids, ph, parts))
         new = runs(band_id, band_val)
     n = len(ids)
-    starts = np.flatnonzero(new)
-    ends = np.r_[starts[1:], n]
-    sizes = ends - starts
-    pi, pj = [], []
-    for k in np.flatnonzero(sizes >= 2):
-        sz = min(int(sizes[k]), cap)
-        a, b = np.triu_indices(sz, k=1)
-        pi.append(a + starts[k])
-        pj.append(b + starts[k])
-    if not pi:
+    from tag_ray.functions.grouping import run_pair_indices
+
+    # size-class-batched pair indices (one triu per distinct run size)
+    pi, pj = run_pair_indices([band_id, band_val], cap=cap)
+    if pi.size == 0:
         return pd.DataFrame({"image_id": [], "partition_id": []})
-    pi = np.concatenate(pi)
-    pj = np.concatenate(pj)
     hit = hamming64(ph[pi], ph[pj]) <= max_hamming
     member = np.zeros(n, dtype=bool)
     member[pi[hit]] = True
@@ -296,10 +324,11 @@ def validate(images_path: str, ref_path: str | None = None,
     clusters (observed wedging at 8 CPUs), and sequential branches give
     each stage the whole cluster — the same structure the shard-looped
     job runner uses."""
-    ref = load_ref_table(ref_path) if ref_path else None
+    ref_handle = load_ref_handle(ref_path) if ref_path else None
     nb = keycol_num_blocks()
     v_rows = row_violations(
-        read_images(images_path, partitions=partitions), cfg, ref).materialize()
+        read_images(images_path, partitions=partitions), cfg,
+        ref_handle=ref_handle).materialize()
     v_dup = dup_violations(
         read_images(images_path, columns=["image_id", "partition_id"],
                     partitions=partitions, num_blocks=nb)).materialize()
