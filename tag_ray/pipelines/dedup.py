@@ -93,6 +93,11 @@ SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 
+# per-worker MinHasher memo (resolved via the worker's own module import —
+# cloudpickle gives shipped closures FRESH __globals__ per task, so a
+# direct global reference would miss once per task; CLAUDE.md r2 lesson)
+_MH_CACHE: dict[tuple[int, int], "MinHasher"] = {}
+
 
 class MinHasher:
     """128-permutation minhash over word k-shingles, vectorized.
@@ -225,20 +230,21 @@ def doc_minhash_candidates(docs: rd.Dataset, num_perm: int = 128,
     bucket are emitted by map_groups; cross-band duplicates removed by a
     final pair-key groupby."""
 
-    class Signatures:
-        def __init__(self, num_perm, bands, k):
-            self.mh = MinHasher(num_perm, k)  # tables built once per actor
-            self.bands = bands
+    def signatures(b: pa.Table) -> pa.Table:
+        # plain task, not an actor pool: MinHasher setup is trivial (two
+        # rng arrays) and per-Dataset actor pools pay spin-up every sweep
+        # (CLAUDE.md r2 lesson); the hasher is memoized per worker via
+        # the worker's own module import so warm workers skip the build
+        from tag_ray.pipelines import dedup as _d
+        key = (num_perm, shingle_k)
+        mh = _d._MH_CACHE.get(key)
+        if mh is None:
+            mh = _d._MH_CACHE[key] = MinHasher(num_perm, shingle_k)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return _band_rows(ids, mh.signatures_batch(b["text"].to_pylist()),
+                          bands)
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            ids = b["doc_id"].to_numpy(zero_copy_only=False)
-            sigs = self.mh.signatures_batch(b["text"].to_pylist())
-            return _band_rows(ids, sigs, self.bands)
-
-    banded = docs.map_batches(
-        Signatures,
-        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "k": shingle_k},
-        batch_format="pyarrow", concurrency=scale_concurrency(None))
+    banded = docs.map_batches(signatures, batch_format="pyarrow")
 
     def pair_bucket(g: pd.DataFrame) -> pd.DataFrame:
         # whole-bucket vectorized pair generation: one sort + run-detect
