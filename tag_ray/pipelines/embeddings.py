@@ -17,7 +17,6 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Mean
 
-from tag_ray.config import scale_concurrency
 from tag_ray.functions.rounding import round_half_away
 from tag_ray.sources import table
 
@@ -128,28 +127,26 @@ def emb_cosine_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> pd.DataF
 
     emb = table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
-    class TopK:
-        def __init__(self, h, k, exclude):
-            self.q = ray.get(h)
-            self.k = k
-            self.exclude = exclude
+    exclude = query_vec_id
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            m = _emb_matrix(b)
-            norms = np.sqrt((m * m).sum(axis=1))
-            cos = (m @ self.q) / np.where(norms == 0, 1.0, norms)
-            cos_r = round_half_away(cos, 4)
-            ids = b["vec_id"].to_numpy(zero_copy_only=False)
-            keep = ids != self.exclude
-            order = np.lexsort((ids[keep], -cos_r[keep]))[: self.k]
-            return pa.Table.from_pydict({
-                "vec_id": pa.array(ids[keep][order]),
-                "cos": pa.array(cos_r[keep][order]),
-            })
+    def topk(b: pa.Table) -> pa.Table:
+        # plain task, not an actor pool: per-batch state is one zero-copy
+        # plasma read of the broadcast query vector — a pool's spin-up
+        # would dwarf it (measured ~2 s per query at 32 CPUs)
+        qv = ray.get(handle)
+        m = _emb_matrix(b)
+        norms = np.sqrt((m * m).sum(axis=1))
+        cos = (m @ qv) / np.where(norms == 0, 1.0, norms)
+        cos_r = round_half_away(cos, 4)
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        keep = ids != exclude
+        order = np.lexsort((ids[keep], -cos_r[keep]))[:k]
+        return pa.Table.from_pydict({
+            "vec_id": pa.array(ids[keep][order]),
+            "cos": pa.array(cos_r[keep][order]),
+        })
 
-    partials = emb.map_batches(
-        TopK, fn_constructor_kwargs={"h": handle, "k": k, "exclude": query_vec_id},
-        batch_format="pyarrow", concurrency=scale_concurrency(None))
+    partials = emb.map_batches(topk, batch_format="pyarrow")
     df = partials.to_pandas()
     df = df.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
     return df.reset_index(drop=True)
@@ -190,35 +187,30 @@ def emb_ivf_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10,
     cents = _train_centroids(sample, n_clusters)
 
     q = _fetch_query_vec(sf_dir, query_vec_id)
-    probe = set(np.argsort(-(cents @ q))[:nprobe].tolist())
+    probe = np.sort(np.argsort(-(cents @ q))[:nprobe])
     handle = ray.put((cents, q, probe))
+    exclude = query_vec_id
 
     emb = table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
-    class ProbeScore:
-        def __init__(self, h, k, exclude):
-            self.cents, self.q, self.probe = ray.get(h)
-            self.k, self.exclude = k, exclude
+    def probe_score(b: pa.Table) -> pa.Table:
+        # plain task (see emb_cosine_topk); probe membership via np.isin,
+        # not a per-row Python set lookup
+        cts, qv, pr = ray.get(handle)
+        m = _emb_matrix(b)
+        norms = np.sqrt((m * m).sum(axis=1))
+        mn = m / np.where(norms == 0, 1.0, norms)[:, None]
+        bucket = (mn @ cts.T).argmax(axis=1)
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        keep = np.isin(bucket, pr) & (ids != exclude)
+        cos_r = round_half_away(mn[keep] @ qv, 4)
+        order = np.lexsort((ids[keep], -cos_r))[:k]
+        return pa.Table.from_pydict({
+            "vec_id": pa.array(ids[keep][order]),
+            "cos": pa.array(cos_r[order]),
+        })
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            m = _emb_matrix(b)
-            norms = np.sqrt((m * m).sum(axis=1))
-            mn = m / np.where(norms == 0, 1.0, norms)[:, None]
-            bucket = (mn @ self.cents.T).argmax(axis=1)
-            ids = b["vec_id"].to_numpy(zero_copy_only=False)
-            keep = np.array([bk in self.probe for bk in bucket]) \
-                & (ids != self.exclude)
-            cos_r = round_half_away(mn[keep] @ self.q, 4)
-            order = np.lexsort((ids[keep], -cos_r))[: self.k]
-            return pa.Table.from_pydict({
-                "vec_id": pa.array(ids[keep][order]),
-                "cos": pa.array(cos_r[order]),
-            })
-
-    partials = emb.map_batches(
-        ProbeScore, fn_constructor_kwargs={"h": handle, "k": k,
-                                           "exclude": query_vec_id},
-        batch_format="pyarrow", concurrency=scale_concurrency(None))
+    partials = emb.map_batches(probe_score, batch_format="pyarrow")
     df = partials.to_pandas()
     df = df.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
     return df.reset_index(drop=True)
