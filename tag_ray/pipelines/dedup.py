@@ -26,7 +26,7 @@ from ray.data.aggregate import Count, Min, Sum
 from tag_ray.codecs.phash import hamming64, phash_bands
 from tag_ray.functions.hashing import hash_strings64
 from tag_ray.functions.rounding import round_half_away
-from tag_ray.config import scale_concurrency
+
 from tag_ray.sources import table
 
 # ---------------------------------------------------------------------------
@@ -433,7 +433,10 @@ def doc_ngram_jaccard_near_dups(sf_dir: str, threshold: float = 0.7,
                 "m": pa.array(np.concatenate(m_out)),
             })
 
-    prefix_rows = PrefixRows  # actor-pool stage; DF table fetched once per actor
+    # plain task, not an actor pool: per-batch state is one zero-copy
+    # plasma read of the broadcast DF table (pool spin-up dwarfs it)
+    def prefix_rows(b: pa.Table) -> pa.Table:
+        return PrefixRows(df_handle)(b)
 
     def posting_bucket(g: pd.DataFrame) -> pd.DataFrame:
         # No size cap: this path is EXACT and oracle-checked, so a hot
@@ -458,9 +461,7 @@ def doc_ngram_jaccard_near_dups(sf_dir: str, threshold: float = 0.7,
 
     cand = grouped_aggregate(
         coarse_bucket_apply(
-            docs.map_batches(prefix_rows, fn_constructor_kwargs={"h": df_handle},
-                             batch_format="pyarrow",
-                             concurrency=scale_concurrency(None)),
+            docs.map_batches(prefix_rows, batch_format="pyarrow"),
             ["gram"], posting_bucket),
         ["doc_id_a", "doc_id_b"], {"n": (None, "count")})
     return _verified_jaccard_pairs(docs, cand, t, shingle_k)
@@ -636,9 +637,8 @@ def emb_near_pairs(sf_dir: str, threshold: float = 0.45) -> pd.DataFrame:
 
     from tag_ray.pipelines._util import small_result
     return small_result(
-        emb.map_batches(PairFinder,
-                        fn_constructor_kwargs={"h": handle, "thr": threshold},
-                        batch_format="pyarrow", concurrency=scale_concurrency(None)),
+        emb.map_batches(lambda b: PairFinder(handle, threshold)(b),
+                        batch_format="pyarrow"),
         {"vec_id_a": "int64", "vec_id_b": "int64", "cos": "float64"})
 
 
@@ -681,8 +681,8 @@ def emb_lsh_buckets(sf_dir: str, n_planes: int = 16, seed: int = 9) -> rd.Datase
             return pa.Table.from_pydict(
                 {"vec_id": b["vec_id"], "bucket": pa.array(bucket)})
 
-    return emb.map_batches(Bucketize, fn_constructor_kwargs={"h": planes_handle},
-                           batch_format="pyarrow", concurrency=scale_concurrency(None))
+    return emb.map_batches(lambda b: Bucketize(planes_handle)(b),
+                           batch_format="pyarrow")
 
 
 def emb_lsh_near_pairs(sf_dir: str, threshold: float = 0.45,
@@ -752,10 +752,8 @@ def emb_lsh_near_pairs(sf_dir: str, threshold: float = 0.45,
                 }))
             return pa.concat_tables(pieces)
 
-    banded = emb.map_batches(BandedBuckets,
-                             fn_constructor_kwargs={"h": planes_handle},
-                             batch_format="pyarrow",
-                             concurrency=scale_concurrency(None))
+    banded = emb.map_batches(lambda b: BandedBuckets(planes_handle)(b),
+                             batch_format="pyarrow")
 
     def pair_bucket(g: pd.DataFrame) -> pd.DataFrame:
         ti, bk, ids = _sorted_dedup_runs(g, ["table_id", "bucket"], "vec_id")

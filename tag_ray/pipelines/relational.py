@@ -25,7 +25,7 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
-from tag_ray.config import join_num_partitions, scale_concurrency
+from tag_ray.config import join_num_partitions
 from tag_ray.functions.rounding import round_half_away, to_cents
 from tag_ray.sources import table
 
@@ -210,8 +210,8 @@ def q5_region_revenue(sf_dir: str):
                 "r_name": pa.array(names, pa.string()),
             })
 
-    orders_r = orders.map_batches(AttachRegion, fn_constructor_kwargs={"h": handle},
-                                  batch_format="pyarrow", concurrency=scale_concurrency(None))
+    orders_r = orders.map_batches(lambda b: AttachRegion(handle)(b),
+                                  batch_format="pyarrow")
     li = table(sf_dir, "lineitem",
                columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
@@ -386,9 +386,10 @@ def ref_orphan_orders(sf_dir: str) -> rd.Dataset:
                 pc.is_in(b["o_custkey"], value_set=self.keys)))
 
     from tag_ray.pipelines._util import small_result
+    # plain task: per-batch state is one zero-copy plasma read
     return small_result(
-        orders.map_batches(AntiJoin, fn_constructor_kwargs={"h": handle},
-                           batch_format="pyarrow", concurrency=scale_concurrency(None)),
+        orders.map_batches(lambda b: AntiJoin(handle)(b),
+                           batch_format="pyarrow"),
         {"o_orderkey": "int64", "o_custkey": "int64"})
 
 
@@ -783,9 +784,8 @@ def cust_with_open_orders(sf_dir: str) -> rd.Dataset:
         def __call__(self, b: pa.Table) -> pa.Table:
             return b.filter(pc.is_in(b["c_custkey"], value_set=self.keys))
 
-    return cust.map_batches(SemiJoin, fn_constructor_kwargs={"h": open_keys},
-                            batch_format="pyarrow",
-                            concurrency=scale_concurrency(None))
+    return cust.map_batches(lambda b: SemiJoin(open_keys)(b),
+                            batch_format="pyarrow")
 
 
 SEMI_JOIN_SQL = """

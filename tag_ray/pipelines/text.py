@@ -218,22 +218,19 @@ def doc_token_counts_regex(sf_dir: str) -> rd.Dataset:
 
     docs = table(sf_dir, "documents", columns=["doc_id", "text"])
 
-    class Tokenize:
-        def __init__(self):
-            self.rx = re.compile(TOKEN_REGEX)
+    def tokenize(b: pa.Table) -> pa.Table:
+        # plain task: re.compile hits the re module's pattern cache on
+        # warm workers, so there is no per-actor state worth a pool
+        rx = re.compile(TOKEN_REGEX)
+        texts = b["text"].to_pylist()
+        counts = np.fromiter((len(rx.findall(t or "")) for t in texts),
+                             dtype=np.int64, count=len(texts))
+        return pa.Table.from_pydict({
+            "doc_id": b["doc_id"],
+            "n_bpe_tokens": pa.array(counts),
+        })
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            texts = b["text"].to_pylist()
-            counts = np.fromiter((len(self.rx.findall(t or "")) for t in texts),
-                                 dtype=np.int64, count=len(texts))
-            return pa.Table.from_pydict({
-                "doc_id": b["doc_id"],
-                "n_bpe_tokens": pa.array(counts),
-            })
-
-    from tag_ray.config import scale_concurrency
-    return docs.map_batches(Tokenize, batch_format="pyarrow",
-                            concurrency=scale_concurrency(None))
+    return docs.map_batches(tokenize, batch_format="pyarrow")
 
 
 TOKEN_REGEX_SQL = f"""
