@@ -100,6 +100,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cust_with_open_orders": R.cust_with_open_orders,
         "active_party_keys": R.active_party_keys,
         "big_orders": R.big_orders,
+        "orders_topk_per_group": R.orders_topk_per_group,
+        "lineitem_price_histogram": R.lineitem_price_histogram,
+        "orders_rollup": R.orders_rollup,
         # --- text analysis (oracle-checked) ---
         "doc_lang_counts": T.doc_lang_counts,
         "doc_token_stats": T.doc_token_stats,
@@ -112,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_winnow_pairs": T.doc_winnow_fingerprint_pairs,
         "doc_split_assign": T.doc_split_assign,
         "doc_null_report": T.doc_null_report,
+        "doc_quality_filter": T.doc_quality_filter_apply,
         # --- dedup family ---
         "doc_exact_dup_groups": D.doc_exact_dup_groups,
         "doc_dedup_keep_first": D.doc_dedup_keep_first,
@@ -155,6 +159,9 @@ def oracle_sql() -> dict[str, str]:
         "cust_with_open_orders": R.SEMI_JOIN_SQL,
         "active_party_keys": R.ACTIVE_PARTY_SQL,
         "big_orders": R.BIG_ORDERS_SQL,
+        "orders_topk_per_group": R.orders_topk_sql(),
+        "lineitem_price_histogram": R.price_histogram_sql(),
+        "orders_rollup": R.ROLLUP_SQL,
         "doc_lang_counts": T.LANG_COUNTS_SQL,
         "doc_token_stats": T.TOKEN_STATS_SQL,
         "doc_fingerprint": T.FINGERPRINT_SQL,
@@ -164,6 +171,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_counts_regex": T.TOKEN_REGEX_SQL,
         "doc_split_assign": T.SPLIT_ASSIGN_SQL,
         "doc_null_report": T.NULL_REPORT_SQL,
+        "doc_quality_filter": T.QUALITY_FILTER_SQL,
         "doc_exact_dup_groups": D.EXACT_DUP_SQL,
         "doc_dedup_keep_first": D.DEDUP_KEEP_FIRST_SQL,
         "doc_ngram_jaccard_near_dups": D.ngram_jaccard_sql(),

@@ -27,7 +27,12 @@ class EngineConfig:
     max_dim: int = 1 << 20
 
     # --- batch/stage sizing (image payloads are KB..MB scale → small batches) ---
-    validate_batch_size: int = 256
+    # 1024 keeps the task count low enough that driver dispatch never
+    # bottlenecks a 32-CPU node (measured: 256-row batches = 3.1k tasks
+    # for an 800k sweep ≈ 205 dispatches/s, ~30% of sweep wall; 1024 is
+    # ~flat at 8 CPUs and ~25% faster at 32). MB-scale production rows
+    # should shrink this so batch × concurrency fits the worker heap.
+    validate_batch_size: int = 1024
     # None → autoscale the actor pool to the cluster's CPU count at
     # pipeline-construction time (scale_concurrency below); a fixed cap
     # here would silently serialize the decode stage on bigger clusters.

@@ -841,3 +841,131 @@ BIG_ORDERS_SQL = """
 SELECT l_orderkey, COUNT(*) AS n_items FROM lineitem
 GROUP BY l_orderkey HAVING COUNT(*) >= 6
 """
+
+
+# ---------------------------------------------------------------------------
+# top-k per group — the ROW_NUMBER() OVER (PARTITION BY ...) window
+# analogue. Partial top-k per batch combines associatively (the global
+# top-k per group is a subset of the union of per-batch top-ks), so the
+# whole query is one map + a tiny driver reduce — no shuffle at all,
+# at any scale, as long as groups × k stays driver-small.
+
+
+def orders_topk_per_group(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    orders = table(sf_dir, "orders",
+                   columns=["o_orderpriority", "o_orderkey", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "o_orderpriority": b["o_orderpriority"].to_pandas(),
+            "o_orderkey": b["o_orderkey"].to_numpy(zero_copy_only=False),
+            "o_totalprice": b["o_totalprice"].to_numpy(zero_copy_only=False),
+        })
+        df = df.sort_values(["o_orderpriority", "o_totalprice", "o_orderkey"],
+                            ascending=[True, False, True])
+        return pa.Table.from_pandas(df.groupby("o_orderpriority", sort=False)
+                                    .head(k), preserve_index=False)
+
+    parts = orders.map_batches(partial, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["o_orderpriority", "o_totalprice", "o_orderkey"],
+                              ascending=[True, False, True])
+    top = parts.groupby("o_orderpriority", sort=False).head(k).reset_index(drop=True)
+    top["rk"] = top.groupby("o_orderpriority", sort=False).cumcount() + 1
+    return top
+
+
+def orders_topk_sql(k: int = 3) -> str:
+    return f"""
+SELECT o_orderpriority, o_orderkey, o_totalprice, rk FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders) WHERE rk <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# fixed-bin histogram: per-batch np.bincount partials → tiny reduce.
+# The drift detector's binning (pipelines/drift.py) as a standalone
+# oracle-checked aggregate; bins are data-independent so partials merge
+# exactly and nothing shuffles.
+
+
+def lineitem_price_histogram(sf_dir: str, bin_width: float = 1000.0) -> pd.DataFrame:
+    li = table(sf_dir, "lineitem", columns=["l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        bins = np.floor(price / bin_width).astype(np.int64)
+        cents = _cents(price)
+        n = np.bincount(bins)
+        tot = np.bincount(bins, weights=cents.astype(np.float64))
+        nz = np.flatnonzero(n)
+        return pa.Table.from_pydict({
+            "bin": pa.array(nz), "n": pa.array(n[nz]),
+            "tot_c": pa.array(tot[nz].astype(np.int64))})
+
+    parts = li.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("bin", sort=True).agg(
+        n=("n", "sum"), tot_c=("tot_c", "sum")).reset_index()
+    return pd.DataFrame({"bin": g["bin"], "n": g["n"],
+                         "total": g["tot_c"] / 100.0})
+
+
+def price_histogram_sql(bin_width: float = 1000.0) -> str:
+    return f"""
+SELECT CAST(FLOOR(l_extendedprice / {bin_width}) AS BIGINT) AS bin,
+       COUNT(*) AS n,
+       SUM(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS total
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP — multi-level aggregate in ONE pass: the finest-level partials
+# (low tens of groups) are exact for count/sum, so every coarser level
+# is derived from them driver-side; the fact table is scanned once and
+# nothing shuffles (grouped_aggregate's coarse buckets carry only the
+# 15-ish distinct key pairs).
+
+
+def orders_rollup(sf_dir: str) -> pd.DataFrame:
+    from tag_ray.functions.grouping import grouped_aggregate
+
+    orders = table(sf_dir, "orders",
+                   columns=["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "o_orderstatus": b["o_orderstatus"],
+            "o_orderpriority": b["o_orderpriority"],
+            "price_c": pa.array(_cents(
+                b["o_totalprice"].to_numpy(zero_copy_only=False))),
+        })
+
+    fine = grouped_aggregate(
+        orders.map_batches(derive, batch_format="pyarrow"),
+        ["o_orderstatus", "o_orderpriority"],
+        {"n": (None, "count"), "price_c": ("price_c", "sum")}).to_pandas()
+
+    lvl1 = fine.groupby("o_orderstatus", as_index=False).agg(
+        n=("n", "sum"), price_c=("price_c", "sum"))
+    lvl1["o_orderpriority"] = "ALL"
+    lvl0 = pd.DataFrame({"o_orderstatus": ["ALL"], "o_orderpriority": ["ALL"],
+                         "n": [fine["n"].sum()],
+                         "price_c": [fine["price_c"].sum()]})
+    out = pd.concat([fine, lvl1, lvl0], ignore_index=True)
+    out["total"] = out["price_c"] / 100.0
+    return (out[["o_orderstatus", "o_orderpriority", "n", "total"]]
+            .sort_values(["o_orderstatus", "o_orderpriority"])
+            .reset_index(drop=True).astype({"n": "int64"}))
+
+
+ROLLUP_SQL = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       COUNT(*) AS n,
+       SUM(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS total
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+ORDER BY 1, 2
+"""

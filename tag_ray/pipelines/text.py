@@ -414,3 +414,55 @@ SELECT COUNT(*) AS rows,
        COUNT(*) - COUNT(n_chars) AS null_n_chars
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# quality-gate APPLY: the filter step a training pipeline actually runs
+# (not just the per-doc score report) — survivors of word-count /
+# word-length / alpha-fraction gates. Pure per-row map (no shuffle);
+# predicates chosen to be expressible identically in SQL so the whole
+# filter is oracle-checked end-to-end.
+
+
+def doc_quality_filter_apply(sf_dir: str, min_words: int = 5,
+                             min_alpha_frac: float = 0.5) -> rd.Dataset:
+    import re
+
+    docs = table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def gate(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        ws = re.compile(r"\S+")
+        al = re.compile(r"[A-Za-z]")
+        n = len(texts)
+        n_words = np.zeros(n, np.int64)
+        n_alpha = np.zeros(n, np.int64)
+        n_chars = np.zeros(n, np.int64)
+        for i, t in enumerate(texts):
+            t = t or ""
+            n_words[i] = len(ws.findall(t))
+            n_alpha[i] = len(al.findall(t))
+            n_chars[i] = len(t)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            alpha_frac = np.where(n_chars > 0, n_alpha / n_chars, 0.0)
+        keep = (n_words >= min_words) & (alpha_frac >= min_alpha_frac)
+        return pa.Table.from_pydict({
+            "doc_id": b["doc_id"].filter(pa.array(keep)),
+            "n_words": pa.array(n_words[keep]),
+            "alpha_frac": pa.array(round_half_away(alpha_frac[keep], 4)),
+        })
+
+    return docs.map_batches(gate, batch_format="pyarrow")
+
+
+QUALITY_FILTER_SQL = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\S+')) AS n_words,
+       ROUND(CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+             / length(text), 4) AS alpha_frac
+FROM documents
+WHERE length(text) > 0
+  AND len(regexp_extract_all(text, '\S+')) >= 5
+  AND CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+      / length(text) >= 0.5
+"""
