@@ -103,6 +103,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_topk_per_group": R.orders_topk_per_group,
         "lineitem_price_histogram": R.lineitem_price_histogram,
         "orders_rollup": R.orders_rollup,
+        "orders_lag_gap": R.orders_lag_gap,
+        "lineitem_quantity_quantiles": R.lineitem_quantity_quantiles,
+        "cust_order_counts": R.cust_order_counts,
+        "lineitem_corr": R.lineitem_corr,
         # --- text analysis (oracle-checked) ---
         "doc_lang_counts": T.doc_lang_counts,
         "doc_token_stats": T.doc_token_stats,
@@ -116,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_split_assign": T.doc_split_assign,
         "doc_null_report": T.doc_null_report,
         "doc_quality_filter": T.doc_quality_filter_apply,
+        "doc_tfidf_topk": T.doc_tfidf_topk,
         # --- dedup family ---
         "doc_exact_dup_groups": D.doc_exact_dup_groups,
         "doc_dedup_keep_first": D.doc_dedup_keep_first,
@@ -126,11 +131,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_near_pairs": D.emb_near_pairs,
         "emb_lsh_buckets": D.emb_lsh_buckets,
         "emb_lsh_near_pairs": D.emb_lsh_near_pairs,
+        "doc_minhash_dedup_apply": D.doc_minhash_dedup_apply,
         # --- similarity search / embedding stats (oracle-checked) ---
         "emb_norms": E.emb_norms,
         "emb_label_stats": E.emb_label_stats,
         "emb_cosine_topk": E.emb_cosine_topk,
         "emb_ivf_topk": E.emb_ivf_topk,
+        "emb_kmeans": E.emb_kmeans,
     }
 
 
@@ -162,6 +169,10 @@ def oracle_sql() -> dict[str, str]:
         "orders_topk_per_group": R.orders_topk_sql(),
         "lineitem_price_histogram": R.price_histogram_sql(),
         "orders_rollup": R.ROLLUP_SQL,
+        "orders_lag_gap": R.LAG_GAP_SQL,
+        "lineitem_quantity_quantiles": R.QUANTILES_SQL,
+        "cust_order_counts": R.LEFT_JOIN_SQL,
+        "lineitem_corr": R.CORR_SQL,
         "doc_lang_counts": T.LANG_COUNTS_SQL,
         "doc_token_stats": T.TOKEN_STATS_SQL,
         "doc_fingerprint": T.FINGERPRINT_SQL,
@@ -172,6 +183,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_split_assign": T.SPLIT_ASSIGN_SQL,
         "doc_null_report": T.NULL_REPORT_SQL,
         "doc_quality_filter": T.QUALITY_FILTER_SQL,
+        "doc_tfidf_topk": T.tfidf_topk_sql(),
         "doc_exact_dup_groups": D.EXACT_DUP_SQL,
         "doc_dedup_keep_first": D.DEDUP_KEEP_FIRST_SQL,
         "doc_ngram_jaccard_near_dups": D.ngram_jaccard_sql(),

@@ -20,6 +20,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Min, Sum
 
@@ -806,3 +807,30 @@ def doc_near_dup_clusters(sf_dir: str, jaccard_threshold: float = 0.5) -> pd.Dat
     comp["keep"] = comp["doc_id"] == comp["cluster_id"]
     return comp.sort_values("doc_id").reset_index(drop=True) \
         .astype({"doc_id": "int64", "cluster_id": "int64"})
+
+
+def doc_minhash_dedup_apply(sf_dir: str,
+                            jaccard_threshold: float = 0.5) -> rd.Dataset:
+    """Near-dup dedup APPLY: the corpus with every non-representative
+    near-dup cluster member REMOVED (keep = the cluster's min doc_id) —
+    the operation a training pipeline actually runs after detection.
+
+    The drop-list (cluster members minus representatives) is bounded by
+    the near-dup rate, not the corpus — it is the small side, broadcast
+    once via ray.put and anti-joined with a vectorized ``pc.is_in`` in
+    one streaming pass over the documents table. Approximate upstream
+    (MinHash) ⇒ no SQL oracle; pytest pins drop-set == non-keep cluster
+    members and survivors ∩ drop-set = ∅."""
+    import pyarrow.compute as pc
+
+    comp = doc_near_dup_clusters(sf_dir, jaccard_threshold)
+    dropped = comp.loc[~comp["keep"], "doc_id"].to_numpy(dtype=np.int64)
+    handle = ray.put(pa.array(dropped, pa.int64()))
+
+    docs = table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def keep_rows(b: pa.Table) -> pa.Table:
+        drop = ray.get(handle)
+        return b.filter(pc.invert(pc.is_in(b["doc_id"], value_set=drop)))
+
+    return docs.map_batches(keep_rows, batch_format="pyarrow")

@@ -228,3 +228,72 @@ SELECT vec_id,
 FROM embeddings WHERE vec_id != {query_vec_id}
 ORDER BY cos DESC, vec_id LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means (Lloyd's) — the iterative-algorithm pattern: per
+# iteration, centroids broadcast ONCE via ray.put, one streaming pass
+# computes per-batch (cluster, count, vector-sum) partials, and the
+# k×dim reduce happens on the driver. Nothing but centroids and partial
+# sums ever leave the workers, so one iteration over 10^12 rows is one
+# read-through — the canonical scalable k-means. Iterative and
+# float-order-dependent ⇒ no SQL oracle; determinism, partitioning and
+# inertia-descent are pytest-gated (tests/test_kmeans.py).
+
+
+def emb_kmeans(sf_dir: str, n_clusters: int = 8, iters: int = 5,
+               train_sample: int = 2048) -> pd.DataFrame:
+    """Cluster the embeddings table; returns per-cluster size, inertia
+    contribution, and centroid norm. Init = spherical k-means on a
+    bounded sample (same practice as IVF); refinement = full-data
+    Lloyd's in Euclidean space."""
+    sample = _emb_matrix(_read_first_rows(sf_dir, train_sample))
+    cents = _train_centroids(sample, n_clusters).astype(np.float64)
+
+    emb = table(sf_dir, "embeddings", columns=["embedding"])
+
+    def make_partial(handle):
+        def partial(b: pa.Table) -> pa.Table:
+            c = ray.get(handle)
+            m = _emb_matrix(b)
+            # ||x-c||² = ||x||² - 2x·c + ||c||²; argmin over clusters
+            d = (m * m).sum(axis=1)[:, None] - 2.0 * (m @ c.T) \
+                + (c * c).sum(axis=1)[None, :]
+            assign = d.argmin(axis=1)
+            sse = d[np.arange(len(m)), assign]
+            rows = []
+            for j in np.unique(assign):
+                sel = assign == j
+                rows.append((int(j), int(sel.sum()),
+                             m[sel].sum(axis=0), float(sse[sel].sum())))
+            return pa.Table.from_pydict({
+                "cluster": pa.array([r[0] for r in rows], pa.int32()),
+                "n": pa.array([r[1] for r in rows], pa.int64()),
+                "vec_sum": pa.array([r[2].tolist() for r in rows],
+                                    pa.list_(pa.float64())),
+                "sse": pa.array([r[3] for r in rows], pa.float64())})
+        return partial
+
+    stats = None
+    for _ in range(iters):
+        handle = ray.put(cents)
+        parts = emb.map_batches(make_partial(handle),
+                                batch_format="pyarrow").to_pandas()
+        agg_n = parts.groupby("cluster")["n"].sum()
+        agg_sse = parts.groupby("cluster")["sse"].sum()
+        sums = {int(j): np.sum(np.stack(g["vec_sum"].to_numpy()), axis=0)
+                for j, g in parts.groupby("cluster")}
+        stats = (agg_n, agg_sse)
+        for j in range(n_clusters):
+            if j in sums and agg_n.get(j, 0) > 0:
+                cents[j] = sums[j] / agg_n[j]
+
+    agg_n, agg_sse = stats
+    out = pd.DataFrame({
+        "cluster": np.arange(n_clusters, dtype=np.int64),
+        "n": [int(agg_n.get(j, 0)) for j in range(n_clusters)],
+        "inertia": round_half_away(np.array(
+            [float(agg_sse.get(j, 0.0)) for j in range(n_clusters)]), 4),
+        "centroid_norm": round_half_away(
+            np.sqrt((cents * cents).sum(axis=1)), 4)})
+    return out

@@ -969,3 +969,218 @@ SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
 FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# LAG window: per-customer gap to the previous order. The classic
+# LAG() OVER (PARTITION BY key ORDER BY ts) window, executed as ONE
+# coarse-bucket shuffle of pruned (key, ts, id) rows + a vectorized
+# sort/shift per bucket — the same high-cardinality-key discipline as
+# events_sessions (never groupby(key).map_groups per customer).
+
+
+def orders_lag_gap(sf_dir: str) -> rd.Dataset:
+    from tag_ray.functions.grouping import coarse_bucket_apply
+
+    orders = table(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "o_orderkey": b["o_orderkey"],
+            "o_custkey": b["o_custkey"],
+            "us": b["o_orderdate"].cast(pa.int64()),
+        })
+
+    def bucket_lag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "us", "o_orderkey"], kind="mergesort")
+        ck = g["o_custkey"].to_numpy()
+        us = g["us"].to_numpy()
+        ok = g["o_orderkey"].to_numpy()
+        same = np.zeros(len(g), dtype=bool)
+        same[1:] = ck[1:] == ck[:-1]  # row has a predecessor in its partition
+        prev = np.empty_like(us)
+        if len(us):
+            prev[1:] = us[:-1]
+        return pd.DataFrame({
+            "o_orderkey": ok[same], "o_custkey": ck[same],
+            "gap_us": (us[same] - prev[same]).astype("int64")})
+
+    return coarse_bucket_apply(orders.map_batches(derive, batch_format="pyarrow"),
+                               ["o_custkey"], bucket_lag)
+
+
+LAG_GAP_SQL = """
+SELECT o_orderkey, o_custkey,
+       epoch_us(o_orderdate)
+         - LAG(epoch_us(o_orderdate)) OVER (PARTITION BY o_custkey
+                                            ORDER BY o_orderdate, o_orderkey)
+         AS gap_us
+FROM orders QUALIFY gap_us IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact grouped quantiles via value histogram. l_quantity has a small
+# integer domain (1..50), so per-batch (group, value)->count partials
+# merge exactly and the quantile is computed from cumulative counts —
+# the counting-histogram exact median, O(domain) driver state per
+# group, NO sort and NO shuffle of data rows at any scale. The
+# interpolation mirrors DuckDB quantile_cont bit-for-bit:
+# lo*(ceil(h)-h) + hi*(h-floor(h)) with h=(n-1)*q.
+
+
+def lineitem_quantity_quantiles(sf_dir: str) -> pd.DataFrame:
+    li = table(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "l_returnflag": b["l_returnflag"].to_pandas(),
+            "q": b["l_quantity"].to_numpy(zero_copy_only=False)})
+        g = df.groupby(["l_returnflag", "q"], sort=False).size() \
+              .reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = li.map_batches(partial, batch_format="pyarrow").to_pandas()
+    hist = parts.groupby(["l_returnflag", "q"], sort=True)["n"].sum() \
+                .reset_index()
+
+    def interp(vals: np.ndarray, cum: np.ndarray, p: float) -> float:
+        n = cum[-1]
+        h = (n - 1) * p
+        fl, ce = np.floor(h), np.ceil(h)
+        lo = vals[np.searchsorted(cum, fl, side="right")]
+        hi = vals[np.searchsorted(cum, ce, side="right")]
+        if fl == ce:
+            return float(lo)
+        return float(lo * (ce - h) + hi * (h - fl))
+
+    rows = []
+    for flag, g in hist.groupby("l_returnflag", sort=True):
+        vals = g["q"].to_numpy()
+        cum = g["n"].to_numpy().cumsum()
+        rows.append({
+            "l_returnflag": flag, "n": int(cum[-1]),
+            "p25": interp(vals, cum, 0.25),
+            "p50": interp(vals, cum, 0.50),
+            "p75": interp(vals, cum, 0.75)})
+    return pd.DataFrame(rows)
+
+
+QUANTILES_SQL = """
+SELECT l_returnflag, COUNT(*) AS n,
+       quantile_cont(l_quantity, 0.25) AS p25,
+       quantile_cont(l_quantity, 0.50) AS p50,
+       quantile_cont(l_quantity, 0.75) AS p75
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# LEFT OUTER join: customer ⟕ orders order-counts (zero-order customers
+# kept). Map-side combine first — the orders side ships (custkey,
+# partial_count) not raw rows — then ONE coarse-bucket shuffle
+# co-locates both sides and a C-level merge resolves each bucket.
+
+
+def cust_order_counts(sf_dir: str) -> rd.Dataset:
+    from tag_ray.functions.grouping import coarse_bucket_apply
+
+    cust = table(sf_dir, "customer", columns=["c_custkey"]).map_batches(
+        lambda b: pa.Table.from_pydict({
+            "key": b["c_custkey"],
+            "cnt": pa.array(np.zeros(b.num_rows, np.int64)),
+            "is_cust": pa.array(np.ones(b.num_rows, np.int8))}),
+        batch_format="pyarrow")
+
+    def orders_partial(b: pa.Table) -> pa.Table:
+        vc = pd.Series(b["o_custkey"].to_numpy(zero_copy_only=False)) \
+               .value_counts(sort=False)
+        return pa.Table.from_pydict({
+            "key": pa.array(vc.index.to_numpy()),
+            "cnt": pa.array(vc.to_numpy().astype(np.int64)),
+            "is_cust": pa.array(np.zeros(len(vc), np.int8))})
+
+    orders = table(sf_dir, "orders", columns=["o_custkey"]).map_batches(
+        orders_partial, batch_format="pyarrow")
+
+    def bucket_join(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("key", sort=False).agg(
+            n_orders=("cnt", "sum"), is_cust=("is_cust", "max")).reset_index()
+        agg = agg[agg["is_cust"] == 1]  # LEFT side preserved, orphans dropped
+        return pd.DataFrame({"c_custkey": agg["key"].to_numpy(),
+                             "n_orders": agg["n_orders"].astype("int64").to_numpy()})
+
+    return coarse_bucket_apply(cust.union(orders), ["key"], bucket_join)
+
+
+LEFT_JOIN_SQL = """
+SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pearson correlation as an exact distributed reduction: per-batch
+# integer-cents moment sums (chunked so every int64 partial is
+# overflow-safe, then widened to arbitrary-precision Python ints and
+# shipped as decimal strings — one tiny row per batch), reduced on the
+# driver, final float formula identical to the oracle's HUGEINT→DOUBLE
+# expression. Demonstrates numerically-exact single-pass second-moment
+# aggregation at any scale (float SUMs re-associate; these cannot).
+
+
+def _exact_sum(a: np.ndarray, chunk: int = 32768) -> int:
+    """Exact integer sum of an int64 array whose per-chunk totals fit
+    int64 (max |element| * chunk < 2^63)."""
+    if len(a) == 0:
+        return 0
+    idx = np.arange(0, len(a), chunk)
+    return int(sum(int(x) for x in np.add.reduceat(a, idx)))
+
+
+def lineitem_corr(sf_dir: str) -> pd.DataFrame:
+    li = table(sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        qc = _cents(b["l_quantity"].to_numpy(zero_copy_only=False))
+        pc_ = _cents(b["l_extendedprice"].to_numpy(zero_copy_only=False))
+        sums = {"n": b.num_rows,
+                "sx": _exact_sum(qc), "sy": _exact_sum(pc_),
+                "sxx": _exact_sum(qc * qc), "syy": _exact_sum(pc_ * pc_),
+                "sxy": _exact_sum(qc * pc_)}
+        return pa.Table.from_pydict(
+            {k: pa.array([str(v)]) for k, v in sums.items()})
+
+    parts = li.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n, sx, sy, sxx, syy, sxy = (
+        sum(int(v) for v in parts[c]) for c in
+        ("n", "sx", "sy", "sxx", "syy", "sxy"))
+    # same op order as the SQL: each exact int → DOUBLE, then the float
+    # formula — both engines round the int identically (nearest double)
+    num = float(n * sxy - sx * sy)
+    den = np.sqrt(float(n * sxx - sx * sx)) * np.sqrt(float(n * syy - sy * sy))
+    return pd.DataFrame({"n": pd.Series([n], dtype="int64"),
+                         "corr_qty_price": round_half_away(
+                             np.array([num / den]), 6)})
+
+
+CORR_SQL = """
+WITH m AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(round(l_quantity*100) AS HUGEINT)) AS sx,
+         SUM(CAST(round(l_extendedprice*100) AS HUGEINT)) AS sy,
+         SUM(CAST(round(l_quantity*100) AS HUGEINT)
+             * CAST(round(l_quantity*100) AS HUGEINT)) AS sxx,
+         SUM(CAST(round(l_extendedprice*100) AS HUGEINT)
+             * CAST(round(l_extendedprice*100) AS HUGEINT)) AS syy,
+         SUM(CAST(round(l_quantity*100) AS HUGEINT)
+             * CAST(round(l_extendedprice*100) AS HUGEINT)) AS sxy
+  FROM lineitem)
+SELECT n,
+       ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
+             / (SQRT(CAST(n*sxx - sx*sx AS DOUBLE))
+                * SQRT(CAST(n*syy - sy*sy AS DOUBLE))), 6) AS corr_qty_price
+FROM m
+"""

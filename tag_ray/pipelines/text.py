@@ -466,3 +466,108 @@ WHERE length(text) > 0
   AND CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
       / length(text) >= 0.5
 """
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top-k terms per document — the canonical two-shuffle text
+# pipeline: tokenize → per-doc term counts (map-only, each doc is one
+# row) → document frequency over the term-typed rows (vocab-cardinality
+# aggregate) → df joined back BY TERM (coarse-bucket co-location, both
+# sides shuffled once on the term key — the vocabulary is corpus-sized
+# at 100 TB, never a broadcast) → per-doc top-k BY DOC (second bucket
+# key). Ranking uses the ROUNDED score so the order is reproducible
+# across engines; ties break on the term.
+
+
+def doc_tfidf_topk(sf_dir: str, k: int = 5) -> rd.Dataset:
+    import re
+
+    from tag_ray.functions.grouping import (coarse_bucket_apply,
+                                            grouped_aggregate)
+
+    docs = table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = float(docs.count())  # metadata-only count
+
+    word_rx = re.compile(r"[a-z]+")
+
+    def tf_rows(b: pa.Table) -> pa.Table:
+        from collections import Counter
+        ids, terms, tfs = [], [], []
+        for d, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            c = Counter(word_rx.findall((t or "").lower()))
+            ids.extend([d] * len(c))
+            terms.extend(c.keys())
+            tfs.extend(c.values())
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(ids, pa.int64()),
+            "term": pa.array(terms, pa.string()),
+            "tf": pa.array(tfs, pa.int64())})
+
+    # (doc, term) rows are consumed twice (df aggregate + join-back);
+    # materialize the compacted term-typed rows once instead of
+    # re-tokenizing the corpus
+    tf = docs.map_batches(tf_rows, batch_format="pyarrow").materialize()
+    df = grouped_aggregate(tf, ["term"], {"df": (None, "count")})
+
+    tagged_tf = tf.map_batches(
+        lambda b: b.append_column("df", pa.array(
+            np.zeros(b.num_rows, np.int64))),
+        batch_format="pyarrow")
+    tagged_df = df.map_batches(
+        lambda b: pa.Table.from_pydict({
+            "doc_id": pa.array(np.full(b.num_rows, -1, np.int64)),
+            "term": b["term"],
+            "tf": pa.array(np.zeros(b.num_rows, np.int64)),
+            "df": b["df"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+    def attach_df(g: pd.DataFrame) -> pd.DataFrame:
+        dfs = g[g["doc_id"] < 0].set_index("term")["df"]
+        rows = g[g["doc_id"] >= 0]
+        return pd.DataFrame({
+            "doc_id": rows["doc_id"].to_numpy(),
+            "term": rows["term"].to_numpy(),
+            "tf": rows["tf"].to_numpy(),
+            "df": dfs.reindex(rows["term"]).to_numpy(dtype=np.int64)})
+
+    scored = coarse_bucket_apply(tagged_tf.union(tagged_df), ["term"],
+                                 attach_df)
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        tfidf = round_half_away(
+            g["tf"].to_numpy() * np.log(n_docs / g["df"].to_numpy()), 4)
+        g = g.assign(tfidf=tfidf).sort_values(
+            ["doc_id", "tfidf", "term"], ascending=[True, False, True],
+            kind="mergesort")
+        g["rk"] = g.groupby("doc_id", sort=False).cumcount() + 1
+        out = g[g["rk"] <= k]
+        return pd.DataFrame({
+            "doc_id": out["doc_id"].to_numpy(),
+            "term": out["term"].to_numpy(),
+            "tf": out["tf"].to_numpy(),
+            "tfidf": out["tfidf"].to_numpy(),
+            "rk": (out["rk"].to_numpy()).astype("int64")})
+
+    return coarse_bucket_apply(scored, ["doc_id"], topk)
+
+
+def tfidf_topk_sql(k: int = 5) -> str:
+    return rf"""
+WITH tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        FROM documents)
+  GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS tfidf
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+)
+SELECT doc_id, term, tf, tfidf, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term) AS rk
+  FROM scored) WHERE rk <= {k}
+"""
