@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from tag_ray.pipelines import drift as DR
     from tag_ray.pipelines import embeddings as E
     from tag_ray.pipelines import relational as R
+    from tag_ray.pipelines import export as X
     from tag_ray.pipelines import text as T
     from tag_ray.pipelines import validate as V
 
@@ -107,6 +108,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_quantity_quantiles": R.lineitem_quantity_quantiles,
         "cust_order_counts": R.cust_order_counts,
         "lineitem_corr": R.lineitem_corr,
+        "lineitem_price_median": R.lineitem_price_median,
+        "events_daily_pivot": R.events_daily_pivot,
         # --- text analysis (oracle-checked) ---
         "doc_lang_counts": T.doc_lang_counts,
         "doc_token_stats": T.doc_token_stats,
@@ -138,6 +141,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_cosine_topk": E.emb_cosine_topk,
         "emb_ivf_topk": E.emb_ivf_topk,
         "emb_kmeans": E.emb_kmeans,
+        # --- training-set materialization (resumable sharded write) ---
+        "export_training_set": X.export_training_set_query,
     }
 
 
@@ -173,6 +178,8 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_quantity_quantiles": R.QUANTILES_SQL,
         "cust_order_counts": R.LEFT_JOIN_SQL,
         "lineitem_corr": R.CORR_SQL,
+        "lineitem_price_median": R.MEDIAN_SQL,
+        "events_daily_pivot": R.PIVOT_SQL,
         "doc_lang_counts": T.LANG_COUNTS_SQL,
         "doc_token_stats": T.TOKEN_STATS_SQL,
         "doc_fingerprint": T.FINGERPRINT_SQL,

@@ -1184,3 +1184,106 @@ SELECT n,
                 * SQRT(CAST(n*syy - sy*sy AS DOUBLE))), 6) AS corr_qty_price
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# exact global median WITHOUT a sort: two-pass distributed selection.
+# Pass 1 builds a coarse histogram of integer cents (64Ki-cent bins —
+# a few hundred partial rows per batch, merged on the driver); the
+# target ranks locate their bin(s); pass 2 builds the exact value
+# histogram of ONLY those bins. No all-to-all, no order statistics on
+# workers — the classic scalable alternative to sorting 10^12 rows for
+# one quantile. Interpolation mirrors DuckDB quantile_cont.
+
+
+def lineitem_price_median(sf_dir: str) -> pd.DataFrame:
+    li = table(sf_dir, "lineitem", columns=["l_extendedprice"])
+    shift = 16
+
+    def coarse_hist(b: pa.Table) -> pa.Table:
+        c = _cents(b["l_extendedprice"].to_numpy(zero_copy_only=False))
+        n = np.bincount(c >> shift)
+        nz = np.flatnonzero(n)
+        return pa.Table.from_pydict({"bucket": pa.array(nz.astype(np.int64)),
+                                     "n": pa.array(n[nz])})
+
+    parts = li.map_batches(coarse_hist, batch_format="pyarrow").to_pandas()
+    hist = parts.groupby("bucket")["n"].sum().sort_index()
+    n = int(hist.sum())
+    h = (n - 1) * 0.5
+    fl, ce = int(np.floor(h)), int(np.ceil(h))
+    cum = hist.cumsum().to_numpy()
+    buckets = hist.index.to_numpy()
+    # ranks fl and ce are adjacent, so their buckets are the containing
+    # nonempty bin and (possibly) the next one — at most two targets
+    targets = np.unique(buckets[np.searchsorted(cum, [fl, ce], side="right")])
+    before = int(cum[np.searchsorted(buckets, targets[0]) - 1]) \
+        if np.searchsorted(buckets, targets[0]) > 0 else 0
+
+    def fine_hist(b: pa.Table) -> pa.Table:
+        c = _cents(b["l_extendedprice"].to_numpy(zero_copy_only=False))
+        cc = c[np.isin(c >> shift, targets)]
+        vals, cnts = np.unique(cc, return_counts=True)
+        return pa.Table.from_pydict({"cents": pa.array(vals),
+                                     "n": pa.array(cnts)})
+
+    parts2 = li.map_batches(fine_hist, batch_format="pyarrow").to_pandas()
+    fine = parts2.groupby("cents")["n"].sum().sort_index()
+    cz = before + fine.cumsum().to_numpy()
+    vals = fine.index.to_numpy()
+    lo = float(vals[np.searchsorted(cz, fl, side="right")]) / 100.0
+    hi = float(vals[np.searchsorted(cz, ce, side="right")]) / 100.0
+    med = lo if fl == ce else lo * (ce - h) + hi * (h - fl)
+    return pd.DataFrame({"n": pd.Series([n], dtype="int64"),
+                         "median_price": round_half_away(
+                             np.array([med]), 4)})
+
+
+MEDIAN_SQL = """
+SELECT COUNT(*) AS n,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_price
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# PIVOT: per-day event counts spread into one column per event type
+# (conditional aggregation). Per-batch vectorized partials — one row
+# per (day) per batch with all type-counts already folded — then a tiny
+# merge; the wide row never exists before aggregation, so nothing
+# shuffles but the partial counters.
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+_US_PER_DAY = 86_400_000_000
+
+
+def events_daily_pivot(sf_dir: str) -> pd.DataFrame:
+    ev = table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // _US_PER_DAY
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        days, inv = np.unique(day, return_inverse=True)
+        cols = {"day": pa.array(days)}
+        for t in _EVENT_TYPES:
+            cols[f"n_{t}"] = pa.array(
+                np.bincount(inv, weights=(et == t)).astype(np.int64))
+        cols["n_total"] = pa.array(np.bincount(inv).astype(np.int64))
+        return pa.Table.from_pydict(cols)
+
+    parts = ev.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("day", sort=True).sum().reset_index()
+    return out
+
+
+PIVOT_SQL = """
+SELECT epoch_us(ts) // 86400000000 AS day,
+       COUNT(*) FILTER (event_type = 'click') AS n_click,
+       COUNT(*) FILTER (event_type = 'error') AS n_error,
+       COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (event_type = 'signup') AS n_signup,
+       COUNT(*) FILTER (event_type = 'view') AS n_view,
+       COUNT(*) AS n_total
+FROM events GROUP BY 1 ORDER BY 1
+"""
