@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_corr": R.lineitem_corr,
         "lineitem_price_median": R.lineitem_price_median,
         "events_daily_pivot": R.events_daily_pivot,
+        "events_user_distinct": R.events_user_distinct,
         # --- text analysis (oracle-checked) ---
         "doc_lang_counts": T.doc_lang_counts,
         "doc_token_stats": T.doc_token_stats,
@@ -124,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_null_report": T.doc_null_report,
         "doc_quality_filter": T.doc_quality_filter_apply,
         "doc_tfidf_topk": T.doc_tfidf_topk,
+        "doc_mean_term_freq": T.doc_mean_term_freq,
         # --- dedup family ---
         "doc_exact_dup_groups": D.doc_exact_dup_groups,
         "doc_dedup_keep_first": D.doc_dedup_keep_first,
@@ -180,6 +182,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_corr": R.CORR_SQL,
         "lineitem_price_median": R.MEDIAN_SQL,
         "events_daily_pivot": R.PIVOT_SQL,
+        "events_user_distinct": R.USER_DISTINCT_SQL,
         "doc_lang_counts": T.LANG_COUNTS_SQL,
         "doc_token_stats": T.TOKEN_STATS_SQL,
         "doc_fingerprint": T.FINGERPRINT_SQL,
@@ -191,6 +194,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_null_report": T.NULL_REPORT_SQL,
         "doc_quality_filter": T.QUALITY_FILTER_SQL,
         "doc_tfidf_topk": T.tfidf_topk_sql(),
+        "doc_mean_term_freq": T.MEAN_TERM_FREQ_SQL,
         "doc_exact_dup_groups": D.EXACT_DUP_SQL,
         "doc_dedup_keep_first": D.DEDUP_KEEP_FIRST_SQL,
         "doc_ngram_jaccard_near_dups": D.ngram_jaccard_sql(),

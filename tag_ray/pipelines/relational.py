@@ -1287,3 +1287,46 @@ SELECT epoch_us(ts) // 86400000000 AS day,
        COUNT(*) AS n_total
 FROM events GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# exact distributed COUNT(DISTINCT): map-side per-batch dedup shrinks
+# the exchange to unique (type, user) pairs, ONE coarse-bucket shuffle
+# co-locates each pair's copies, per-bucket C-level dedup+count, tiny
+# driver merge. The exact complement to the HLL approximate path in
+# functions/sketches.py (A2) — same answer as the SQL, linear state.
+
+
+def events_user_distinct(sf_dir: str) -> pd.DataFrame:
+    from tag_ray.functions.grouping import coarse_bucket_apply
+
+    ev = table(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def batch_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": b["event_type"].to_pandas(),
+            "user_id": b["user_id"].to_numpy(zero_copy_only=False)})
+        g = df.groupby(["event_type", "user_id"], sort=False).size() \
+              .reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def bucket_count(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["event_type", "user_id"], sort=False)["n"].sum() \
+               .reset_index()
+        out = agg.groupby("event_type", sort=False).agg(
+            n_users=("user_id", "size"), n_events=("n", "sum")).reset_index()
+        return out
+
+    parts = coarse_bucket_apply(
+        ev.map_batches(batch_partial, batch_format="pyarrow"),
+        ["event_type", "user_id"], bucket_count).to_pandas()
+    out = parts.groupby("event_type", sort=True).agg(
+        n_users=("n_users", "sum"), n_events=("n_events", "sum")).reset_index()
+    return out.astype({"n_users": "int64", "n_events": "int64"})
+
+
+USER_DISTINCT_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events
+FROM events GROUP BY event_type ORDER BY event_type
+"""

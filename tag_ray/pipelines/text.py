@@ -571,3 +571,88 @@ SELECT doc_id, term, tf, tfidf, rk FROM (
                                ORDER BY tfidf DESC, term) AS rk
   FROM scored) WHERE rk <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# corpus-frequency document score: mean corpus frequency of a doc's
+# tokens — the unigram-LM commonness signal (rare-token docs score
+# low). Same two-shuffle shape as TF-IDF (term-keyed corpus-count
+# join-back, then doc-keyed aggregate) but the score is built from
+# INTEGER sums (Σ tf·tc, Σ tf), so the division is one float op and
+# the oracle parity is exact — a float mean over tokens would
+# re-associate and drift in the last ulp.
+
+
+def doc_mean_term_freq(sf_dir: str) -> rd.Dataset:
+    import re
+
+    from tag_ray.functions.grouping import (coarse_bucket_apply,
+                                            grouped_aggregate)
+
+    docs = table(sf_dir, "documents", columns=["doc_id", "text"])
+    word_rx = re.compile(r"[a-z]+")
+
+    def tf_rows(b: pa.Table) -> pa.Table:
+        from collections import Counter
+        ids, terms, tfs = [], [], []
+        for d, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            c = Counter(word_rx.findall((t or "").lower()))
+            ids.extend([d] * len(c))
+            terms.extend(c.keys())
+            tfs.extend(c.values())
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(ids, pa.int64()),
+            "term": pa.array(terms, pa.string()),
+            "tf": pa.array(tfs, pa.int64())})
+
+    tf = docs.map_batches(tf_rows, batch_format="pyarrow").materialize()
+    tc = grouped_aggregate(tf, ["term"], {"tc": ("tf", "sum")})
+
+    tagged_tf = tf.map_batches(
+        lambda b: b.append_column("tc", pa.array(
+            np.zeros(b.num_rows, np.int64))), batch_format="pyarrow")
+    tagged_tc = tc.map_batches(
+        lambda b: pa.Table.from_pydict({
+            "doc_id": pa.array(np.full(b.num_rows, -1, np.int64)),
+            "term": b["term"],
+            "tf": pa.array(np.zeros(b.num_rows, np.int64)),
+            "tc": b["tc"].cast(pa.int64())}), batch_format="pyarrow")
+
+    def attach_tc(g: pd.DataFrame) -> pd.DataFrame:
+        tcs = g[g["doc_id"] < 0].set_index("term")["tc"]
+        rows = g[g["doc_id"] >= 0]
+        return pd.DataFrame({
+            "doc_id": rows["doc_id"].to_numpy(),
+            "tf": rows["tf"].to_numpy(),
+            "tc": tcs.reindex(rows["term"]).to_numpy(dtype=np.int64)})
+
+    joined = coarse_bucket_apply(tagged_tf.union(tagged_tc), ["term"],
+                                 attach_tc)
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.assign(tftc=g["tf"] * g["tc"]).groupby("doc_id", sort=False) \
+               .agg(s=("tftc", "sum"), n=("tf", "sum")).reset_index()
+        return pd.DataFrame({
+            "doc_id": agg["doc_id"].to_numpy(),
+            "n_tokens": agg["n"].astype("int64").to_numpy(),
+            "mean_term_freq": round_half_away(
+                agg["s"].to_numpy() / agg["n"].to_numpy(), 4)})
+
+    return coarse_bucket_apply(joined, ["doc_id"], per_doc)
+
+
+MEAN_TERM_FREQ_SQL = """
+WITH tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        FROM documents)
+  GROUP BY doc_id, term
+), tc AS (
+  SELECT term, SUM(tf) AS tc FROM tf GROUP BY term
+)
+SELECT tf.doc_id, SUM(tf.tf) AS n_tokens,
+       ROUND(CAST(SUM(tf.tf * tc.tc) AS DOUBLE) / SUM(tf.tf), 4)
+         AS mean_term_freq
+FROM tf JOIN tc ON tf.term = tc.term
+GROUP BY tf.doc_id
+"""
