@@ -258,7 +258,22 @@ def doc_minhash_candidates(docs: rd.Dataset, num_perm: int = 128,
     from tag_ray.functions.grouping import (coarse_bucket_apply,
                                             grouped_aggregate, run_pair_indices)
 
-    cand = coarse_bucket_apply(banded, ["band_id", "band_val"], pair_bucket)
+    cand = coarse_bucket_apply(banded, ["band_id", "band_val"],
+                               pair_bucket).materialize()
+    # cross-band pair dedup, adaptively: the pair set is usually tiny
+    # (LSH's whole job) and a full coarse shuffle of it is ~0.8 s of
+    # pure orchestration on this box — below the cutoff, coalesce to
+    # one block and dedup with a single C-level groupby; above it, the
+    # shuffle path (same adaptive small-side principle as
+    # functions/verify._BROADCAST_FEAT_LIMIT and connected_components)
+    if cand.count() <= 2_000_000:
+        def local_dedup(g: pd.DataFrame) -> pd.DataFrame:
+            out = g.groupby(["doc_id_a", "doc_id_b"], sort=False) \
+                   .size().reset_index(name="n_bands")
+            return out.astype({"doc_id_a": "int64", "doc_id_b": "int64",
+                               "n_bands": "int64"})
+        return cand.repartition(1).map_batches(local_dedup,
+                                               batch_format="pandas")
     return grouped_aggregate(cand, ["doc_id_a", "doc_id_b"],
                              {"n_bands": (None, "count")})
 
