@@ -111,6 +111,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_price_median": R.lineitem_price_median,
         "events_daily_pivot": R.events_daily_pivot,
         "events_user_distinct": R.events_user_distinct,
+        "events_running_totals": R.events_running_totals,
+        "events_errors_after_purchase": R.events_errors_after_purchase,
+        "events_user_top_type": R.events_user_top_type,
         # --- text analysis (oracle-checked) ---
         "doc_lang_counts": T.doc_lang_counts,
         "doc_token_stats": T.doc_token_stats,
@@ -183,6 +186,9 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_price_median": R.MEDIAN_SQL,
         "events_daily_pivot": R.PIVOT_SQL,
         "events_user_distinct": R.USER_DISTINCT_SQL,
+        "events_running_totals": R.RUNNING_TOTALS_SQL,
+        "events_errors_after_purchase": R.errors_after_purchase_sql(),
+        "events_user_top_type": R.USER_TOP_TYPE_SQL,
         "doc_lang_counts": T.LANG_COUNTS_SQL,
         "doc_token_stats": T.TOKEN_STATS_SQL,
         "doc_fingerprint": T.FINGERPRINT_SQL,

@@ -34,7 +34,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # ratio at ~2×, which says nothing about how the engine scales on real
 # volumes. 800k amortizes those constants to a few percent.
 SCALING_ROWS = int(os.environ.get("GRAFT_SCALING_ROWS", "800000"))
-SCALING_TRIALS = int(os.environ.get("GRAFT_SCALING_TRIALS", "3"))
+SCALING_TRIALS = int(os.environ.get("GRAFT_SCALING_TRIALS", "5"))
 
 # Headline pipelines: one per engine family (SURVEY.md §2 coverage).
 HEADLINE = [
@@ -119,18 +119,27 @@ def _median(xs: list[float]) -> float:
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
-def _hw_ceiling(lo: int, hi: int, trials: int = 3) -> dict:
+def _hw_ceiling(lo: int, hi: int, trials: int = 5) -> dict:
     """Efficiency of the no-Ray kernel burn at lo vs hi procs, median
-    of ``trials`` (the burn itself is steal-noisy on this VM)."""
+    of ``trials`` (the burn itself is steal-noisy on this VM). Pools
+    for both levels are created UP FRONT and each trial alternates its
+    lo/hi order, so fork cost stays out of the measurement and epoch
+    drift within a trial debiases across trials (a 2-s burn straddling
+    an epoch flip once produced trial ceilings of 0.45 and 3.26)."""
     import multiprocessing as mp
 
     effs = []
-    for _ in range(trials):
-        rates = {}
-        for n in (lo, hi):
-            with mp.Pool(n) as p:
+    with mp.Pool(lo) as plo, mp.Pool(hi) as phi:
+        # warm both pools (fork + import), untimed
+        plo.map(_burn, range(lo))
+        phi.map(_burn, range(hi))
+        for t in range(trials):
+            rates = {}
+            order = (lo, hi) if t % 2 == 0 else (hi, lo)
+            for n in order:
+                p = plo if n == lo else phi
                 rates[n] = sum(p.map(_burn, range(n)))
-        effs.append(rates[hi] / ((hi / lo) * rates[lo]))
+            effs.append(rates[hi] / ((hi / lo) * rates[lo]))
     return {"median": round(_median(effs), 3),
             "trials": [round(e, 3) for e in effs]}
 
@@ -177,7 +186,12 @@ def main() -> None:
             V.validate(corpus + "/images", corpus + "/ref_ids.parquet").count()
             return time.perf_counter() - t0
 
-        sweep()  # warm-up (untimed)
+        # warm-up (untimed) on a 1/8 partition subset: spins workers,
+        # builds the ref index, primes imports — the full-corpus warm-up
+        # put ~60 s between a pair's two timed sweeps, defeating the
+        # shared-epoch pairing the protocol relies on
+        V.validate(corpus + "/images", corpus + "/ref_ids.parquet",
+                   partitions=list(range(8))).count()
         print("READY", flush=True)
         for line in sys.stdin:
             if line.strip() != "go":
@@ -219,8 +233,10 @@ def main() -> None:
             return sec
 
         secs: dict[int, list[float]] = {lo: [], hi: []}
-        for _ in range(SCALING_TRIALS):
-            for cpus in (lo, hi):  # back-to-back: one pair per epoch
+        for t in range(SCALING_TRIALS):
+            # back-to-back pair per epoch; order alternates so residual
+            # intra-pair epoch drift debiases across the median
+            for cpus in ((lo, hi) if t % 2 == 0 else (hi, lo)):
                 secs[cpus].append(_one_sweep(cpus))
         ratio = hi / lo
         pair_effs = [secs[lo][i] / (ratio * secs[hi][i])

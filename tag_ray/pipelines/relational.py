@@ -1330,3 +1330,156 @@ SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
        COUNT(*) AS n_events
 FROM events GROUP BY event_type ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# cumulative window: per-day running revenue — SUM() OVER (ORDER BY).
+# The grouped day totals are calendar-bounded (tiny at any corpus
+# size), so the ordered prefix-sum is a driver array op over exact
+# integer cents; the scan itself stays one pass of mergeable partials.
+
+
+def events_running_totals(sf_dir: str) -> pd.DataFrame:
+    ev = table(sf_dir, "events", columns=["ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // _US_PER_DAY
+        c = _cents(b["value"].to_numpy(zero_copy_only=False))
+        days, inv = np.unique(day, return_inverse=True)
+        return pa.Table.from_pydict({
+            "day": pa.array(days),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+            "c": pa.array(np.bincount(inv, weights=c.astype(np.float64))
+                          .astype(np.int64))})
+
+    parts = ev.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("day", sort=True).agg(
+        n=("n", "sum"), c=("c", "sum")).reset_index()
+    return pd.DataFrame({
+        "day": g["day"], "n": g["n"].astype("int64"),
+        "total": g["c"] / 100.0,
+        "running_total": g["c"].cumsum() / 100.0})
+
+
+RUNNING_TOTALS_SQL = """
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n,
+         SUM(CAST(round(value*100) AS BIGINT)) AS c
+  FROM events GROUP BY 1)
+SELECT day, n, c/100.0 AS total,
+       SUM(c) OVER (ORDER BY day)/100.0 AS running_total
+FROM d ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# RANGE JOIN (interval join) — an operator Ray Data lacks natively:
+# for every purchase, count the same user's errors inside the hour
+# after it. One pass prunes+tags both sides, one coarse-bucket shuffle
+# on user_id co-locates them, and each bucket resolves ALL its
+# intervals with two vectorized searchsorteds over a composite
+# (user_rank, ts) key — no per-user Python, no pair explosion. The
+# composite key needs user_rank·span to fit int64; rank is bucket-local
+# so it stays bounded as buckets scale with the cluster.
+
+
+def events_errors_after_purchase(sf_dir: str,
+                                 window_hours: int = 1) -> rd.Dataset:
+    from tag_ray.functions.grouping import coarse_bucket_apply
+
+    win_us = window_hours * _US_PER_HOUR
+    ev = table(sf_dir, "events", columns=["event_id", "ts", "user_id",
+                                          "event_type"])
+
+    def sides(b: pa.Table) -> pa.Table:
+        et = b["event_type"]
+        keep = pc.or_(pc.equal(et, "purchase"), pc.equal(et, "error"))
+        t = b.filter(keep)
+        return pa.Table.from_pydict({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "ts_us": t["ts"].cast(pa.int64()),
+            "side": pc.cast(pc.equal(t["event_type"], "error"), pa.int8()),
+        })
+
+    def bucket_range_join(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        side = g["side"].to_numpy()
+        # dense user rank inside the bucket
+        uvals, rank = np.unique(uid, return_inverse=True)
+        tmin = ts.min()
+        span = (ts.max() - tmin) + win_us + 2
+        key = rank.astype(np.int64) * span + (ts - tmin)
+        p = side == 0
+        err_keys = np.sort(key[side == 1])
+        lo = np.searchsorted(err_keys, key[p], side="right")
+        hi = np.searchsorted(err_keys, key[p] + win_us, side="right")
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy()[p],
+            "n_errors": (hi - lo).astype("int64")})
+
+    return coarse_bucket_apply(ev.map_batches(sides, batch_format="pyarrow"),
+                               ["user_id"], bucket_range_join)
+
+
+def errors_after_purchase_sql(window_hours: int = 1) -> str:
+    return f"""
+SELECT p.event_id, COUNT(e.event_id) AS n_errors
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON e.user_id = p.user_id
+ AND e.ts > p.ts AND e.ts <= p.ts + INTERVAL {window_hours} HOUR
+GROUP BY p.event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# grouped MODE with deterministic ties: each user's most frequent event
+# type (rank by count desc, type asc). Map-side (user, type) count
+# partials shrink the exchange; one coarse-bucket shuffle on user_id;
+# per-bucket argmax is one sort + run-detect first-row — no per-user
+# Python calls.
+
+
+def events_user_top_type(sf_dir: str) -> rd.Dataset:
+    from tag_ray.functions.grouping import coarse_bucket_apply
+
+    ev = table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def batch_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(zero_copy_only=False),
+            "event_type": b["event_type"].to_pandas()})
+        g = df.groupby(["user_id", "event_type"], sort=False).size() \
+              .reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def bucket_mode(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["user_id", "event_type"], sort=False)["n"].sum() \
+               .reset_index()
+        agg = agg.sort_values(["user_id", "n", "event_type"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        uid = agg["user_id"].to_numpy()
+        first = np.ones(len(agg), dtype=bool)
+        first[1:] = uid[1:] != uid[:-1]
+        top = agg.loc[first]
+        return pd.DataFrame({
+            "user_id": top["user_id"].to_numpy(),
+            "top_type": top["event_type"].to_numpy(),
+            "n": top["n"].astype("int64").to_numpy()})
+
+    return coarse_bucket_apply(
+        ev.map_batches(batch_partial, batch_format="pyarrow"),
+        ["user_id"], bucket_mode)
+
+
+USER_TOP_TYPE_SQL = """
+SELECT user_id, event_type AS top_type, n FROM (
+  SELECT user_id, event_type, COUNT(*) AS n,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY COUNT(*) DESC, event_type) AS rk
+  FROM events GROUP BY user_id, event_type) WHERE rk = 1
+"""
