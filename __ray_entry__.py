@@ -114,6 +114,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running_totals": R.events_running_totals,
         "events_errors_after_purchase": R.events_errors_after_purchase,
         "events_user_top_type": R.events_user_top_type,
+        "orders_price_ntile": R.orders_price_ntile,
+        "orders_status_agg": R.orders_status_agg,
         # --- text analysis (oracle-checked) ---
         "doc_lang_counts": T.doc_lang_counts,
         "doc_token_stats": T.doc_token_stats,
@@ -129,6 +131,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_filter": T.doc_quality_filter_apply,
         "doc_tfidf_topk": T.doc_tfidf_topk,
         "doc_mean_term_freq": T.doc_mean_term_freq,
+        "doc_unique_words": T.doc_unique_words,
+        "docs_cube": T.docs_cube,
         # --- dedup family ---
         "doc_exact_dup_groups": D.doc_exact_dup_groups,
         "doc_dedup_keep_first": D.doc_dedup_keep_first,
@@ -146,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_cosine_topk": E.emb_cosine_topk,
         "emb_ivf_topk": E.emb_ivf_topk,
         "emb_kmeans": E.emb_kmeans,
+        "emb_label_centroid": E.emb_label_centroid,
         # --- training-set materialization (resumable sharded write) ---
         "export_training_set": X.export_training_set_query,
     }
@@ -189,6 +194,11 @@ def oracle_sql() -> dict[str, str]:
         "events_running_totals": R.RUNNING_TOTALS_SQL,
         "events_errors_after_purchase": R.errors_after_purchase_sql(),
         "events_user_top_type": R.USER_TOP_TYPE_SQL,
+        "orders_price_ntile": R.orders_price_ntile_sql(),
+        "orders_status_agg": R.STATUS_AGG_SQL,
+        "doc_unique_words": T.UNIQUE_WORDS_SQL,
+        "docs_cube": T.DOCS_CUBE_SQL,
+        "emb_label_centroid": E.LABEL_CENTROID_SQL,
         "doc_lang_counts": T.LANG_COUNTS_SQL,
         "doc_token_stats": T.TOKEN_STATS_SQL,
         "doc_fingerprint": T.FINGERPRINT_SQL,

@@ -1,0 +1,117 @@
+"""Distributed exact global ranking (ROW_NUMBER / NTILE family).
+
+Global rank by ``ORDER BY (key, tie)`` is the one relational primitive
+that a hash shuffle cannot express — every row's rank depends on the
+count of all rows ordered before it. The scalable shape is the textbook
+range-partitioned sort:
+
+  1. sample the key column (a few hundred values per block, driver-side
+     sample stays tiny and bounded) and pick ``num_buckets - 1`` cut
+     points;
+  2. one vectorized ``searchsorted`` per batch assigns each row a range
+     bucket — rows with EQUAL keys always land in the same bucket
+     (cuts are key values, side="left"), so cross-bucket ties are
+     impossible;
+  3. per-bucket row counts (tiny aggregate) → prefix-sum offsets on the
+     driver (``num_buckets`` ints, broadcast by closure);
+  4. co-locate each bucket, sort locally by (key, tie), and emit
+     ``rank = offset[bucket] + arange``.
+
+Only the bucket co-location shuffles; the sample and count passes read
+the skinny key columns the caller projected. Boundary quality affects
+balance, never correctness — a hot key value makes one bucket large
+(documented skew caveat), but ranks stay exact.
+
+Reference parity: the reference engine has no windowing (it is a
+metadata sniffer); this is part of the engine-add surface (SURVEY.md
+§2 A-group) a training-data pipeline needs (deterministic ordering for
+split assignment, NTILE stratification).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from tag_ray.functions.grouping import default_num_buckets
+
+_RBKT = "_rbkt"
+
+
+def global_rank(ds: rd.Dataset, key_col: str, tie_col: str,
+                out_col: str = "rank",
+                num_buckets: int | None = None) -> tuple[rd.Dataset, int]:
+    """Attach an exact 0-based global rank by ``ORDER BY (key, tie)``.
+
+    ``key_col`` must be an integer-comparable column (route money
+    through integer cents as everywhere else); ``tie_col`` must be a
+    unique integer id so the order — and therefore every rank — is
+    total and deterministic. Returns ``(ranked_dataset, total_rows)``;
+    the input should already be projected to the columns the caller
+    needs (the sample pass re-executes the upstream read).
+    """
+    buckets = num_buckets or default_num_buckets(factor=4)
+
+    # 1. driver-side cut points from a bounded per-block sample
+    def sample_keys(b: pa.Table) -> pa.Table:
+        v = b[key_col].to_numpy(zero_copy_only=False)
+        stride = max(1, len(v) // 64)
+        return pa.Table.from_pydict({"k": pa.array(v[::stride])})
+
+    sample = np.sort(np.asarray(
+        [r["k"] for r in ds.map_batches(
+            sample_keys, batch_format="pyarrow").take_all()]))
+    if sample.size == 0:
+        return ds.map_batches(
+            lambda b: b.append_column(out_col, pa.array(
+                np.empty(0, np.int64))[:b.num_rows]),
+            batch_format="pyarrow"), 0
+    cut_idx = (np.arange(1, buckets) * sample.size) // buckets
+    cuts = np.unique(sample[cut_idx])  # equal keys collapse → same bucket
+
+    def assign(b: pa.Table) -> pa.Table:
+        v = b[key_col].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            _RBKT, pa.array(np.searchsorted(cuts, v, side="left")
+                            .astype(np.int32)))
+
+    bucketed = ds.map_batches(assign, batch_format="pyarrow")
+
+    # 2. per-bucket counts → prefix offsets (num_buckets ints, driver)
+    counts = bucketed.groupby(_RBKT).count().to_pandas()
+    counts = counts.sort_values(_RBKT)
+    n_total = int(counts["count()"].sum())
+    offsets = np.zeros(len(cuts) + 1, dtype=np.int64)
+    np.add.at(offsets, counts[_RBKT].to_numpy(),
+              counts["count()"].to_numpy())
+    offsets = np.r_[0, np.cumsum(offsets)[:-1]]
+    off_list = offsets.tolist()  # tiny; ships by value in the closure
+
+    # 3. co-locate each range bucket, local sort, offset + arange
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g[_RBKT].iat[0])
+        order = np.lexsort((g[tie_col].to_numpy(), g[key_col].to_numpy()))
+        rank = np.empty(len(g), dtype=np.int64)
+        rank[order] = off_list[b] + np.arange(len(g), dtype=np.int64)
+        g = g.drop(columns=[_RBKT]).copy()
+        g[out_col] = rank
+        return g
+
+    ranked = bucketed.groupby(_RBKT).map_groups(
+        rank_bucket, batch_format="pandas")
+    return ranked, n_total
+
+
+def ntile_of(rank: np.ndarray, n: int, k: int) -> np.ndarray:
+    """SQL NTILE(k) bucket (1-based) from a 0-based global rank over n
+    rows: the first ``n % k`` tiles hold ``n//k + 1`` rows, the rest
+    ``n//k`` (exact ANSI semantics, pinned vs DuckDB in tests)."""
+    q, r = divmod(n, k)
+    big = r * (q + 1)
+    rank = np.asarray(rank, dtype=np.int64)
+    small = np.maximum(q, 1)  # q==0 ⇒ no rows reach the else branch
+    return np.where(rank < big, rank // (q + 1),
+                    r + (rank - big) // small) + 1

@@ -297,3 +297,56 @@ def emb_kmeans(sf_dir: str, n_clusters: int = 8, iters: int = 5,
         "centroid_norm": round_half_away(
             np.sqrt((cents * cents).sum(axis=1)), 4)})
     return out
+
+
+# ---------------------------------------------------------------------------
+# Per-label centroid (per-dimension mean), the building block behind
+# label drift monitors and class prototypes. Exactness discipline: each
+# value is quantized to round(x * 1e6) int64 per row (mirrored in the
+# SQL), so the partial sums merge exactly in any order; the final
+# mean is ONE double division of two integers — bit-identical to the
+# oracle. int64 headroom: |x| <= ~8 in the fixture => ~1e12 rows per
+# label before overflow; switch the partial to the decimal-string
+# reduce (lineitem_corr) beyond that.
+
+
+def emb_label_centroid(sf_dir: str) -> pd.DataFrame:
+    from tag_ray.functions.grouping import grouped_aggregate
+
+    emb = table(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = _emb_matrix(b).astype(np.float64)
+        q = round_half_away(m * 1e6).astype(np.int64)   # (n, d)
+        labels = b["label"].to_numpy(zero_copy_only=False)
+        uvals, inv = np.unique(labels, return_inverse=True)
+        d = q.shape[1]
+        sums = np.zeros((len(uvals), d), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        cnts = np.bincount(inv, minlength=len(uvals)).astype(np.int64)
+        return pa.Table.from_pydict({
+            "label": pa.array(np.repeat(uvals, d)),
+            "j": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64),
+                                  len(uvals))),
+            "s": pa.array(sums.ravel()),
+            "c": pa.array(np.repeat(cnts, d)),
+        })
+
+    cells = grouped_aggregate(
+        emb.map_batches(partial, batch_format="pyarrow"),
+        ["label", "j"], {"s": ("s", "sum"), "c": ("c", "sum")}).to_pandas()
+    cells["centroid"] = round_half_away(
+        cells["s"].to_numpy() / (cells["c"].to_numpy() * 1e6), 4)
+    return (cells[["label", "j", "centroid"]]
+            .sort_values(["label", "j"]).reset_index(drop=True))
+
+
+LABEL_CENTROID_SQL = """
+SELECT label, j,
+       ROUND(SUM(CAST(ROUND(CAST(v AS DOUBLE) * 1000000) AS BIGINT))
+             / (COUNT(*) * 1000000.0), 4) AS centroid
+FROM (SELECT label, generate_subscripts(embedding, 1) AS j,
+             unnest(embedding) AS v
+      FROM embeddings)
+GROUP BY label, j ORDER BY label, j
+"""

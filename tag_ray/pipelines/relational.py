@@ -1483,3 +1483,77 @@ SELECT user_id, event_type AS top_type, n FROM (
                             ORDER BY COUNT(*) DESC, event_type) AS rk
   FROM events GROUP BY user_id, event_type) WHERE rk = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Global ranking windows: ROW_NUMBER / NTILE over the whole table.
+# The one window family a hash shuffle cannot express — implemented as
+# a range-partitioned sort (functions/ranking.py): sampled cut points →
+# vectorized bucket assign → tiny count pass → per-bucket local sort
+# with global offsets. Only the bucket co-location shuffles; ranks are
+# exact and deterministic (money through cents, ties by o_orderkey).
+
+
+def orders_price_ntile(sf_dir: str, k: int = 4) -> rd.Dataset:
+    from tag_ray.functions.ranking import global_rank, ntile_of
+
+    od = table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "o_orderkey": b["o_orderkey"],
+            "price_c": pa.array(_cents(
+                b["o_totalprice"].to_numpy(zero_copy_only=False))),
+        })
+
+    ranked, n = global_rank(od.map_batches(keyed, batch_format="pyarrow"),
+                            key_col="price_c", tie_col="o_orderkey")
+
+    def finalize(b: pa.Table) -> pa.Table:
+        r = b["rank"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "o_orderkey": b["o_orderkey"],
+            "rn": pa.array(r + 1),
+            "tile": pa.array(ntile_of(r, n, k)),
+        })
+
+    return ranked.map_batches(finalize, batch_format="pyarrow")
+
+
+def orders_price_ntile_sql(k: int = 4) -> str:
+    return f"""
+SELECT o_orderkey,
+       ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+       NTILE({k})    OVER (ORDER BY o_totalprice, o_orderkey) AS tile
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# Ordered string aggregation: comma-joined distinct statuses per
+# priority. The distributed part is the distinct-pair reduction (the
+# exchange carries at most |priority|x|status| rows no matter the
+# corpus size); the join itself is driver-side string work on that
+# bounded set.
+
+
+def orders_status_agg(sf_dir: str) -> pd.DataFrame:
+    from tag_ray.functions.grouping import grouped_aggregate
+
+    orders = table(sf_dir, "orders",
+                   columns=["o_orderpriority", "o_orderstatus"])
+    pairs = grouped_aggregate(
+        orders, ["o_orderpriority", "o_orderstatus"],
+        {"n": (None, "count")}).to_pandas()
+    pairs = pairs.sort_values(["o_orderpriority", "o_orderstatus"])
+    out = pairs.groupby("o_orderpriority", as_index=False).agg(
+        statuses=("o_orderstatus", ",".join))
+    return out.reset_index(drop=True)
+
+
+STATUS_AGG_SQL = """
+SELECT o_orderpriority,
+       string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+FROM (SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders)
+GROUP BY o_orderpriority
+"""

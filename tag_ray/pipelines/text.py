@@ -656,3 +656,74 @@ SELECT tf.doc_id, SUM(tf.tf) AS n_tokens,
 FROM tf JOIN tc ON tf.term = tc.term
 GROUP BY tf.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Distinct-token count per doc: lexical-diversity profiling for quality
+# filtering. Embarrassingly parallel — one set() per doc inside the
+# batch (C-level hashing, same cost class as doc_word_topk's Counter);
+# tokenization is trim + \s+ split, the suite-wide convention.
+
+
+def doc_unique_words(sf_dir: str) -> rd.Dataset:
+    docs = table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "doc_id": b["doc_id"],
+            "n_unique": pa.array(
+                [len(set((t or "").strip().split()))
+                 for t in b["text"].to_pylist()], pa.int64()),
+        })
+
+    return docs.map_batches(per_batch, batch_format="pyarrow")
+
+
+UNIQUE_WORDS_SQL = r"""
+SELECT doc_id,
+       CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+            ELSE len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+       END AS n_unique
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# CUBE aggregate over (lang, source): all four grouping sets from ONE
+# fine-grained distributed aggregate — the cube expansion runs on the
+# fine cells (|lang|x|source|, bounded by dictionary sizes, never by
+# corpus size), so no second pass over the data.
+
+
+def docs_cube(sf_dir: str) -> pd.DataFrame:
+    from tag_ray.functions.grouping import grouped_aggregate
+
+    docs = table(sf_dir, "documents", columns=["lang", "source", "n_chars"])
+    fine = grouped_aggregate(
+        docs, ["lang", "source"],
+        {"n": (None, "count"), "chars": ("n_chars", "sum")}).to_pandas()
+
+    def lvl(keys: list[str]) -> pd.DataFrame:
+        if keys:
+            g = fine.groupby(keys, as_index=False).agg(
+                n=("n", "sum"), chars=("chars", "sum"))
+        else:
+            g = pd.DataFrame({"n": [fine["n"].sum()],
+                              "chars": [fine["chars"].sum()]})
+        for c in ("lang", "source"):
+            if c not in keys:
+                g[c] = "ALL"
+        return g
+
+    out = pd.concat([fine, lvl(["lang"]), lvl(["source"]), lvl([])],
+                    ignore_index=True)
+    return (out[["lang", "source", "n", "chars"]]
+            .sort_values(["lang", "source"]).reset_index(drop=True)
+            .astype({"n": "int64", "chars": "int64"}))
+
+
+DOCS_CUBE_SQL = """
+SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
+       COUNT(*) AS n, SUM(n_chars) AS chars
+FROM documents GROUP BY CUBE(lang, source) ORDER BY 1, 2
+"""

@@ -1,0 +1,56 @@
+"""Pin the global-ranking primitive: exact ranks under ties and skew,
+NTILE bucket arithmetic vs DuckDB for awkward n/k combinations."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from tag_ray.functions.ranking import global_rank, ntile_of
+
+
+def test_global_rank_exact_with_ties(ray_session):
+    rng = np.random.default_rng(7)
+    n = 5_000
+    key = rng.integers(0, 40, n).astype(np.int64)  # heavy ties
+    tie = rng.permutation(n).astype(np.int64)      # unique ids
+    df = pd.DataFrame({"k": key, "id": tie})
+    ds = rd.from_pandas(df).repartition(8)
+    ranked, total = global_rank(ds, "k", "id", num_buckets=16)
+    out = ranked.to_pandas().sort_values("id").reset_index(drop=True)
+    assert total == n
+    expect = np.empty(n, dtype=np.int64)
+    order = np.lexsort((tie, key))
+    expect[order] = np.arange(n)
+    got = out.sort_values("id")["rank"].to_numpy()
+    want = pd.DataFrame({"id": tie, "e": expect}).sort_values("id")["e"].to_numpy()
+    assert (got == want).all()
+    # ranks are a permutation of 0..n-1
+    assert (np.sort(out["rank"].to_numpy()) == np.arange(n)).all()
+
+
+def test_global_rank_single_hot_key(ray_session):
+    # one value dominates: every row must still get a distinct exact rank
+    n = 2_000
+    key = np.zeros(n, dtype=np.int64)
+    key[:10] = np.arange(10)
+    tie = np.arange(n, dtype=np.int64)
+    ds = rd.from_pandas(pd.DataFrame({"k": key, "id": tie})).repartition(4)
+    ranked, total = global_rank(ds, "k", "id", num_buckets=8)
+    out = ranked.to_pandas()
+    assert total == n
+    assert (np.sort(out["rank"].to_numpy()) == np.arange(n)).all()
+
+
+@pytest.mark.parametrize("n,k", [(10, 4), (15, 4), (3, 5), (1, 1),
+                                 (100, 7), (6, 6)])
+def test_ntile_matches_duckdb(n, k):
+    con = duckdb.connect()
+    got = ntile_of(np.arange(n), n, k)
+    want = con.execute(
+        f"SELECT NTILE({k}) OVER (ORDER BY i) FROM range({n}) t(i)"
+    ).fetchnumpy()
+    want = next(iter(want.values()))
+    assert (got == np.asarray(want)).all(), (n, k, got, want)
