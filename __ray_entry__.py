@@ -67,6 +67,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = DR.feature_drift(V.read_images(c + "/images"))
         return out[["partition_id", "feature", "n", "drifted"]]
 
+    def img_phash_topk(sf_dir: str):
+        c = _image_corpus(sf_dir)
+        return V.phash_topk(c + "/images", "img-0000-000000", k=10)
+
     def img_column_stats(sf_dir: str):
         from tag_ray.stages.stats import column_stats
 
@@ -82,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_partition_status": img_partition_status,
         "img_drift": img_drift,
         "img_column_stats": img_column_stats,
+        "img_phash_topk": img_phash_topk,
         # --- relational operator surface (oracle-checked) ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_revenue_topk": R.q3_revenue_topk,
@@ -116,6 +121,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_top_type": R.events_user_top_type,
         "orders_price_ntile": R.orders_price_ntile,
         "orders_status_agg": R.orders_status_agg,
+        "party_activity_full": R.party_activity_full,
+        "lineitem_open_orders": R.lineitem_open_orders,
+        "big_quantity_orders": R.big_quantity_orders,
         # --- text analysis (oracle-checked) ---
         "doc_lang_counts": T.doc_lang_counts,
         "doc_token_stats": T.doc_token_stats,
@@ -132,6 +140,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tfidf_topk": T.doc_tfidf_topk,
         "doc_mean_term_freq": T.doc_mean_term_freq,
         "doc_unique_words": T.doc_unique_words,
+        "doc_word_heavy_hitters": T.doc_word_heavy_hitters,
+        "doc_source_len_quantiles": T.doc_source_len_quantiles,
+        "doc_redact_numbers": T.doc_redact_numbers,
         "docs_cube": T.docs_cube,
         # --- dedup family ---
         "doc_exact_dup_groups": D.doc_exact_dup_groups,
@@ -196,8 +207,13 @@ def oracle_sql() -> dict[str, str]:
         "events_user_top_type": R.USER_TOP_TYPE_SQL,
         "orders_price_ntile": R.orders_price_ntile_sql(),
         "orders_status_agg": R.STATUS_AGG_SQL,
+        "party_activity_full": R.FULL_OUTER_SQL,
+        "lineitem_open_orders": R.OPEN_ORDERS_SQL,
+        "big_quantity_orders": R.big_quantity_orders_sql(),
         "doc_unique_words": T.UNIQUE_WORDS_SQL,
         "docs_cube": T.DOCS_CUBE_SQL,
+        "doc_source_len_quantiles": T.SOURCE_LEN_QUANTILES_SQL,
+        "doc_redact_numbers": T.REDACT_SQL,
         "emb_label_centroid": E.LABEL_CENTROID_SQL,
         "doc_lang_counts": T.LANG_COUNTS_SQL,
         "doc_token_stats": T.TOKEN_STATS_SQL,

@@ -106,7 +106,9 @@ def _burn(seed):
         blobs.append((fmt, codecs.encode(fmt, px)))
     t0 = time.perf_counter()
     n = 0
-    while time.perf_counter() - t0 < 2.0:
+    # 4-s burn: a 2-s burn samples a single steal instant and produced
+    # trial ceilings spanning 0.72-0.98 within one protocol run
+    while time.perf_counter() - t0 < 4.0:
         fmt, data = blobs[n % len(blobs)]
         codecs.phash64(codecs.decode(fmt, data))
         n += 1
@@ -119,29 +121,19 @@ def _median(xs: list[float]) -> float:
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
-def _hw_ceiling(lo: int, hi: int, trials: int = 5) -> dict:
-    """Efficiency of the no-Ray kernel burn at lo vs hi procs, median
-    of ``trials`` (the burn itself is steal-noisy on this VM). Pools
-    for both levels are created UP FRONT and each trial alternates its
-    lo/hi order, so fork cost stays out of the measurement and epoch
-    drift within a trial debiases across trials (a 2-s burn straddling
-    an epoch flip once produced trial ceilings of 0.45 and 3.26)."""
-    import multiprocessing as mp
-
-    effs = []
-    with mp.Pool(lo) as plo, mp.Pool(hi) as phi:
-        # warm both pools (fork + import), untimed
-        plo.map(_burn, range(lo))
-        phi.map(_burn, range(hi))
-        for t in range(trials):
-            rates = {}
-            order = (lo, hi) if t % 2 == 0 else (hi, lo)
-            for n in order:
-                p = plo if n == lo else phi
-                rates[n] = sum(p.map(_burn, range(n)))
-            effs.append(rates[hi] / ((hi / lo) * rates[lo]))
-    return {"median": round(_median(effs), 3),
-            "trials": [round(e, 3) for e in effs]}
+def _ceiling_pair(plo, phi, lo: int, hi: int, flip: bool) -> float:
+    """ONE lo/hi kernel-burn pair on pre-warmed pools (fork cost out of
+    the measurement; order flips per trial to debias intra-pair
+    drift). Called interleaved with each SWEEP pair so the ceiling
+    samples the same hypervisor-steal epoch as the sweeps it
+    normalizes — a ceiling measured after all sweeps finished once
+    disagreed with the sweeps' epochs by 0.06 (0.79 vs 0.85 medians in
+    back-to-back protocol runs)."""
+    rates = {}
+    for n in ((hi, lo) if flip else (lo, hi)):
+        p = plo if n == lo else phi
+        rates[n] = sum(p.map(_burn, range(n)))
+    return rates[hi] / ((hi / lo) * rates[lo])
 
 
 def _flagship_rows(sf_dir: str) -> int:
@@ -186,12 +178,16 @@ def main() -> None:
             V.validate(corpus + "/images", corpus + "/ref_ids.parquet").count()
             return time.perf_counter() - t0
 
-        # warm-up (untimed) on a 1/8 partition subset: spins workers,
-        # builds the ref index, primes imports — the full-corpus warm-up
-        # put ~60 s between a pair's two timed sweeps, defeating the
-        # shared-epoch pairing the protocol relies on
+        # warm-up (untimed) on a partition subset sized to the CPU
+        # count: the subset must spawn at least one task per worker, or
+        # the timed sweep pays the cold worker spawns (measured: an
+        # 8-partition warm-up leaves ~24 of 32 workers cold and the
+        # first full sweep runs ~17 s vs ~14 s steady state; at 8 CPUs
+        # 8 partitions warm everything and there is no first-sweep
+        # penalty). Still a subset — the full-corpus warm-up put ~60 s
+        # between a pair's timed sweeps, defeating shared-epoch pairing.
         V.validate(corpus + "/images", corpus + "/ref_ids.parquet",
-                   partitions=list(range(8))).count()
+                   partitions=list(range(min(64, max(8, args.cpus))))).count()
         print("READY", flush=True)
         for line in sys.stdin:
             if line.strip() != "go":
@@ -232,17 +228,29 @@ def main() -> None:
             p.wait()
             return sec
 
+        import multiprocessing as mp
+
         secs: dict[int, list[float]] = {lo: [], hi: []}
-        for t in range(SCALING_TRIALS):
-            # back-to-back pair per epoch; order alternates so residual
-            # intra-pair epoch drift debiases across the median
-            for cpus in ((lo, hi) if t % 2 == 0 else (hi, lo)):
-                secs[cpus].append(_one_sweep(cpus))
+        ceil_effs: list[float] = []
+        with mp.Pool(lo) as plo, mp.Pool(hi) as phi:
+            plo.map(_burn, range(lo))   # warm (fork + imports), untimed
+            phi.map(_burn, range(hi))
+            for t in range(SCALING_TRIALS):
+                # back-to-back pair per epoch; order alternates so
+                # residual intra-pair epoch drift debiases across the
+                # median; each sweep pair is followed immediately by a
+                # kernel-burn ceiling pair in the SAME epoch
+                for cpus in ((lo, hi) if t % 2 == 0 else (hi, lo)):
+                    secs[cpus].append(_one_sweep(cpus))
+                ceil_effs.append(_ceiling_pair(plo, phi, lo, hi, t % 2 == 1))
         ratio = hi / lo
         pair_effs = [secs[lo][i] / (ratio * secs[hi][i])
                      for i in range(SCALING_TRIALS)]
+        norm_pairs = [pair_effs[i] / ceil_effs[i]
+                      for i in range(SCALING_TRIALS)]
         eff = _median(pair_effs)
-        hw = _hw_ceiling(lo, hi)
+        hw = {"median": round(_median(ceil_effs), 3),
+              "trials": [round(e, 3) for e in ceil_effs]}
         print(json.dumps({
             "metric": "steady-state scaling efficiency (fresh process per "
                       f"sweep at {lo} vs {hi} logical CPUs, run strictly "
@@ -270,8 +278,11 @@ def main() -> None:
             # engine's efficiency net of that platform limit.
             "hw_ceiling": hw["median"],
             "hw_ceiling_trials": hw["trials"],
-            "value_normalized": round(eff / hw["median"], 3)
-            if hw["median"] else None,
+            # per-trial normalized pairs (sweep pair / same-epoch
+            # ceiling pair), then the median — epoch-matched, unlike
+            # median(raw)/median(ceiling) across different epochs
+            "normalized_pairs": [round(e, 3) for e in norm_pairs],
+            "value_normalized": round(_median(norm_pairs), 3),
         }))
         return
 

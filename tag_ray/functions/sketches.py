@@ -20,6 +20,7 @@ from __future__ import annotations
 import pickle
 
 import numpy as np
+import pandas as pd
 
 # ---------------------------------------------------------------------------
 
@@ -290,3 +291,58 @@ class ColumnSketch:
         s.tdigest.means, s.tdigest.weights = d["t"][1], d["t"][2]
         s.hll.registers = d["h"][1]
         return s
+
+
+class MisraGries:
+    """Mergeable heavy-hitters sketch (Misra-Gries summary).
+
+    Tracks at most ``k - 1`` candidate items; after any stream of n
+    items, every true count is under-estimated by at most n/k, so any
+    item with frequency > n/k is guaranteed present. Batched update:
+    C-level ``value_counts`` per batch, then one bulk decrement by the
+    k-th largest weight (the standard batched MG step — equivalent to
+    repeating the unit decrement). Merging two sketches sums their
+    weights and re-trims; the union error is bounded by n_total/k
+    (Agarwal et al., "Mergeable Summaries", PODS'12 — public result).
+    """
+
+    def __init__(self, k: int = 64):
+        self.k = k
+        self.counts: dict = {}
+        self.n = 0
+
+    def _trim(self) -> None:
+        if len(self.counts) < self.k:
+            return
+        w = np.sort(np.fromiter(self.counts.values(), dtype=np.int64))
+        # decrement everything by the k-th largest weight: survivors
+        # (c > d) number at most k-1, and each unit of decrement is
+        # shared by ≥ k items, preserving the n/k error bound
+        d = int(w[len(w) - self.k])
+        self.counts = {v: c - d for v, c in self.counts.items() if c > d}
+
+    def update_batch(self, values) -> None:
+        vc = pd.Series(values).value_counts(sort=False)
+        self.n += int(vc.sum())
+        get = self.counts.get
+        for v, c in vc.items():  # vocabulary-sized, not row-sized
+            self.counts[v] = get(v, 0) + int(c)
+        self._trim()
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        out = MisraGries(min(self.k, other.k))
+        out.n = self.n + other.n
+        out.counts = dict(self.counts)
+        get = out.counts.get
+        for v, c in other.counts.items():
+            out.counts[v] = get(v, 0) + c
+        out._trim()
+        return out
+
+    def heavy_hitters(self, min_frac: float = 0.01) -> "pd.DataFrame":
+        """Candidates whose lower-bound count clears min_frac·n.
+        Estimates are lower bounds (true count ≤ est + n/k)."""
+        thr = self.n * min_frac - self.n / self.k
+        items = [(v, c) for v, c in self.counts.items() if c >= thr]
+        items.sort(key=lambda t: (-t[1], str(t[0])))
+        return pd.DataFrame(items, columns=["item", "est_count"])

@@ -1511,10 +1511,14 @@ def orders_price_ntile(sf_dir: str, k: int = 4) -> rd.Dataset:
 
     def finalize(b: pa.Table) -> pa.Table:
         r = b["rank"].to_numpy(zero_copy_only=False)
+        # PERCENT_RANK == rank/(n-1) here: the orderkey tiebreaker makes
+        # the sort key unique, so RANK() == ROW_NUMBER(); one double
+        # division of two ints is bit-identical to the oracle's
         return pa.Table.from_pydict({
             "o_orderkey": b["o_orderkey"],
             "rn": pa.array(r + 1),
             "tile": pa.array(ntile_of(r, n, k)),
+            "pct": pa.array(round_half_away(r / max(n - 1, 1), 4)),
         })
 
     return ranked.map_batches(finalize, batch_format="pyarrow")
@@ -1524,7 +1528,8 @@ def orders_price_ntile_sql(k: int = 4) -> str:
     return f"""
 SELECT o_orderkey,
        ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
-       NTILE({k})    OVER (ORDER BY o_totalprice, o_orderkey) AS tile
+       NTILE({k})    OVER (ORDER BY o_totalprice, o_orderkey) AS tile,
+       ROUND(PERCENT_RANK() OVER (ORDER BY o_totalprice, o_orderkey), 4) AS pct
 FROM orders
 """
 
@@ -1556,4 +1561,191 @@ SELECT o_orderpriority,
        string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
 FROM (SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders)
 GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# FULL OUTER join: per-key event counts vs order counts, keys kept from
+# EITHER side. Same shape as the LEFT join above — map-side combine on
+# both inputs (the exchange carries (key, partial_count, side), never
+# raw rows), one coarse-bucket co-location, C-level per-bucket merge —
+# but no side filter, so unmatched keys from both inputs survive with
+# zero-filled counterparts.
+
+
+def party_activity_full(sf_dir: str) -> rd.Dataset:
+    from tag_ray.functions.grouping import coarse_bucket_apply
+
+    def partial(col: str, side: int):
+        def fn(b: pa.Table) -> pa.Table:
+            vc = pd.Series(b[col].to_numpy(zero_copy_only=False)) \
+                   .value_counts(sort=False)
+            n = len(vc)
+            return pa.Table.from_pydict({
+                "key": pa.array(vc.index.to_numpy()),
+                "ev": pa.array((vc.to_numpy() if side == 0 else
+                                np.zeros(n)).astype(np.int64)),
+                "od": pa.array((vc.to_numpy() if side == 1 else
+                                np.zeros(n)).astype(np.int64))})
+        return fn
+
+    ev = table(sf_dir, "events", columns=["user_id"]).map_batches(
+        partial("user_id", 0), batch_format="pyarrow")
+    od = table(sf_dir, "orders", columns=["o_custkey"]).map_batches(
+        partial("o_custkey", 1), batch_format="pyarrow")
+
+    def bucket_join(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("key", sort=False).agg(
+            n_events=("ev", "sum"), n_orders=("od", "sum")).reset_index()
+        return pd.DataFrame({
+            "party_key": agg["key"].astype("int64").to_numpy(),
+            "n_events": agg["n_events"].astype("int64").to_numpy(),
+            "n_orders": agg["n_orders"].astype("int64").to_numpy()})
+
+    return coarse_bucket_apply(ev.union(od), ["key"], bucket_join)
+
+
+FULL_OUTER_SQL = """
+SELECT COALESCE(e.user_id, o.o_custkey) AS party_key,
+       COALESCE(e.n_events, 0) AS n_events,
+       COALESCE(o.n_orders, 0) AS n_orders
+FROM (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id) e
+FULL OUTER JOIN
+     (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey) o
+ON e.user_id = o.o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered semi-join aggregate: lineitem rows of OPEN orders.
+# big ⋉ medium where the medium side is assumed too large to broadcast
+# exactly: a Bloom bitmap (functions/bloom.py, false positives only)
+# prefilters the big side BEFORE the exchange, then one coarse-bucket
+# co-location of survivors + keys removes the false positives exactly.
+# Oracle-identical by construction; the bitmap only shrinks the shuffle.
+
+
+def lineitem_open_orders(sf_dir: str) -> pd.DataFrame:
+    from tag_ray.functions.bloom import build_bloom, probe_mask
+    from tag_ray.functions.grouping import coarse_bucket_apply
+
+    open_keys = table(sf_dir, "orders",
+                      columns=["o_orderkey", "o_orderstatus"]).map_batches(
+        lambda b: b.filter(pc.equal(b["o_orderstatus"], "O"))
+                   .select(["o_orderkey"]),
+        batch_format="pyarrow")
+    handle = build_bloom(open_keys, "o_orderkey")
+
+    def prefilter(b: pa.Table) -> pa.Table:
+        val = ray.get(handle)  # zero-copy from the local object store
+        keys = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        keep = probe_mask(val, keys)
+        return pa.Table.from_pydict({
+            "key": pa.array(keys[keep]),
+            "cents": pa.array(_cents(
+                b["l_extendedprice"].to_numpy(zero_copy_only=False)[keep])),
+            "is_key": pa.array(np.zeros(int(keep.sum()), np.int8))})
+
+    survivors = table(sf_dir, "lineitem",
+                      columns=["l_orderkey", "l_extendedprice"]).map_batches(
+        prefilter, batch_format="pyarrow")
+    keys_tagged = open_keys.map_batches(
+        lambda b: pa.Table.from_pydict({
+            "key": b["o_orderkey"],
+            "cents": pa.array(np.zeros(b.num_rows, np.int64)),
+            "is_key": pa.array(np.ones(b.num_rows, np.int8))}),
+        batch_format="pyarrow")
+
+    def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["key"].to_numpy()
+        is_key = g["is_key"].to_numpy() == 1
+        match = np.isin(key[~is_key], key[is_key])
+        cents = g["cents"].to_numpy()[~is_key][match]
+        return pd.DataFrame({"n": [int(match.sum())],
+                             "cents": [int(cents.sum())]})
+
+    parts = coarse_bucket_apply(survivors.union(keys_tagged), ["key"],
+                                bucket_verify).to_pandas()
+    return pd.DataFrame({"n": [int(parts["n"].sum())],
+                         "revenue": [parts["cents"].sum() / 100.0]})
+
+
+OPEN_ORDERS_SQL = """
+SELECT COUNT(*) AS n,
+       SUM(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS revenue
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O')
+"""
+
+
+# ---------------------------------------------------------------------------
+# Aggregate → HAVING → join chain (TPC-H Q18 shape): orders whose total
+# line quantity exceeds a threshold, joined back for customer/price.
+# The quantity aggregate keys on orderkey (high cardinality →
+# grouped_aggregate, never native groupby); the HAVING filter shrinks
+# the survivor set to near-nothing BEFORE the join, so the join-back is
+# one more coarse-bucket co-location of two skinny sides.
+
+
+def big_quantity_orders(sf_dir: str, min_qty: int = 180) -> rd.Dataset:
+    from tag_ray.functions.grouping import coarse_bucket_apply, grouped_aggregate
+
+    li = table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    qty = grouped_aggregate(li, ["l_orderkey"],
+                            {"sum_qty": ("l_quantity", "sum")})
+    big = qty.map_batches(
+        lambda b: b.filter(pc.greater(b["sum_qty"], min_qty)),
+        batch_format="pyarrow")
+
+    def tag_big(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "key": b["l_orderkey"],
+            "qty": b["sum_qty"].cast(pa.float64()),
+            "cust": pa.array(np.zeros(b.num_rows, np.int64)),
+            "cents": pa.array(np.zeros(b.num_rows, np.int64)),
+            "side": pa.array(np.ones(b.num_rows, np.int8))})
+
+    def tag_orders(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "key": b["o_orderkey"],
+            "qty": pa.array(np.zeros(b.num_rows, np.float64)),
+            "cust": b["o_custkey"].cast(pa.int64()),
+            "cents": pa.array(_cents(
+                b["o_totalprice"].to_numpy(zero_copy_only=False))),
+            "side": pa.array(np.zeros(b.num_rows, np.int8))})
+
+    orders = table(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_totalprice"]) \
+        .map_batches(tag_orders, batch_format="pyarrow")
+
+    def bucket_join(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy() == 1
+        bigk = g["key"].to_numpy()[side]
+        if len(bigk) == 0:
+            return pd.DataFrame({"o_orderkey": pd.Series([], dtype="int64"),
+                                 "o_custkey": pd.Series([], dtype="int64"),
+                                 "total": pd.Series([], dtype="float64"),
+                                 "sum_qty": pd.Series([], dtype="float64")})
+        qty = pd.Series(g["qty"].to_numpy()[side], index=bigk)
+        o = g[~side]
+        m = np.isin(o["key"].to_numpy(), bigk)
+        om = o[m]
+        return pd.DataFrame({
+            "o_orderkey": om["key"].astype("int64").to_numpy(),
+            "o_custkey": om["cust"].astype("int64").to_numpy(),
+            "total": om["cents"].to_numpy() / 100.0,
+            "sum_qty": qty.loc[om["key"]].to_numpy()})
+
+    return coarse_bucket_apply(big.map_batches(tag_big, batch_format="pyarrow")
+                               .union(orders), ["key"], bucket_join)
+
+
+def big_quantity_orders_sql(min_qty: int = 180) -> str:
+    return f"""
+SELECT o_orderkey, o_custkey,
+       CAST(round(o_totalprice*100) AS BIGINT)/100.0 AS total, sum_qty
+FROM orders JOIN (
+  SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > {min_qty}
+) ON o_orderkey = l_orderkey
 """

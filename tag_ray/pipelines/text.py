@@ -727,3 +727,130 @@ SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
        COUNT(*) AS n, SUM(n_chars) AS chars
 FROM documents GROUP BY CUBE(lang, source) ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Heavy-hitter vocabulary WITHOUT a vocabulary-sized shuffle: one
+# bounded Misra-Gries summary per block (functions/sketches.py), tiny
+# pickled-sketch rows to the driver, mergeable with an n/k error bound
+# — the constant-memory complement of doc_word_topk's exact path for
+# corpora whose vocabulary itself no longer fits a shuffle. Estimates
+# are lower bounds; any token with frequency > n/k is guaranteed out.
+
+
+def doc_word_heavy_hitters(sf_dir: str, k: int = 256,
+                           min_frac: float = 0.005) -> pd.DataFrame:
+    import pickle
+
+    from tag_ray.functions.sketches import MisraGries
+
+    docs = table(sf_dir, "documents", columns=["text"])
+
+    def sketch_block(b: pa.Table) -> pa.Table:
+        mg = MisraGries(k)
+        toks: list = []
+        for t in b["text"].to_pylist():
+            toks.extend((t or "").strip().split())
+        mg.update_batch(toks)
+        return pa.Table.from_pydict({"sk": pa.array([pickle.dumps(mg)])})
+
+    merged = None
+    for row in docs.map_batches(sketch_block,
+                                batch_format="pyarrow").take_all():
+        mg = pickle.loads(row["sk"])
+        merged = mg if merged is None else merged.merge(mg)
+    if merged is None:
+        return pd.DataFrame({"item": [], "est_count": []})
+    out = merged.heavy_hitters(min_frac)
+    out["item"] = out["item"].astype(str)
+    out["est_count"] = out["est_count"].astype("int64")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Grouped quantiles over documents: per-source length profile. Same
+# mergeable value-histogram partials + DuckDB quantile_cont-identical
+# interpolation as lineitem_quantity_quantiles — n_chars has bounded
+# distinct values, so the exchange carries (source, value, count)
+# cells, never rows.
+
+
+def doc_source_len_quantiles(sf_dir: str) -> pd.DataFrame:
+    docs = table(sf_dir, "documents", columns=["source", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "source": b["source"].to_pandas(),
+            "v": b["n_chars"].to_numpy(zero_copy_only=False)})
+        g = df.groupby(["source", "v"], sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    hist = parts.groupby(["source", "v"], sort=True)["n"].sum().reset_index()
+
+    def interp(vals: np.ndarray, cum: np.ndarray, p: float) -> float:
+        n = cum[-1]
+        h = (n - 1) * p
+        fl, ce = np.floor(h), np.ceil(h)
+        lo = vals[np.searchsorted(cum, fl, side="right")]
+        hi = vals[np.searchsorted(cum, ce, side="right")]
+        if fl == ce:
+            return float(lo)
+        return float(lo * (ce - h) + hi * (h - fl))
+
+    rows = []
+    for src, g in hist.groupby("source", sort=True):
+        vals = g["v"].to_numpy()
+        cum = g["n"].to_numpy().cumsum()
+        rows.append({"source": src, "n": int(cum[-1]),
+                     "p50": interp(vals, cum, 0.50),
+                     "p90": interp(vals, cum, 0.90)})
+    return pd.DataFrame(rows)
+
+
+SOURCE_LEN_QUANTILES_SQL = """
+SELECT source, COUNT(*) AS n,
+       quantile_cont(n_chars, 0.50) AS p50,
+       quantile_cont(n_chars, 0.90) AS p90
+FROM documents GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Regex redaction transform (PII-scrub shape): replace every 4+-digit
+# run with a placeholder. Embarrassingly parallel map with the pattern
+# compiled once per worker process; the oracle compares the FULL
+# redacted text per row, so the parity check is exact string equality.
+
+_REDACT_RE = None
+
+
+def doc_redact_numbers(sf_dir: str) -> rd.Dataset:
+    docs = table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def redact(b: pa.Table) -> pa.Table:
+        import re
+
+        import tag_ray.pipelines.text as _t
+        if _t._REDACT_RE is None:  # once per worker (resolve via module,
+            _t._REDACT_RE = re.compile(r"\d{4,}")  # not closure globals)
+        sub = _t._REDACT_RE.sub
+        texts = b["text"].to_pylist()
+        red = [None if t is None else sub("[NUM]", t) for t in texts]
+        n_hits = [0 if t is None else len(_t._REDACT_RE.findall(t))
+                  for t in texts]
+        return pa.Table.from_pydict({
+            "doc_id": b["doc_id"],
+            "text_red": pa.array(red, pa.string()),
+            "n_redacted": pa.array(n_hits, pa.int64())})
+
+    return docs.map_batches(redact, batch_format="pyarrow")
+
+
+REDACT_SQL = r"""
+SELECT doc_id,
+       regexp_replace(text, '\d{4,}', '[NUM]', 'g') AS text_red,
+       CASE WHEN text IS NULL THEN 0
+            ELSE len(regexp_extract_all(text, '\d{4,}')) END AS n_redacted
+FROM documents
+"""

@@ -317,24 +317,40 @@ def validate(images_path: str, ref_path: str | None = None,
     checks then only see those partitions — cross-shard duplicates are
     caught by the job's final full-table pass over pruned key columns.
 
-    The three families execute SEQUENTIALLY (each materialized — outputs
-    are violation rows, small by design) rather than as one 3-branch
-    union topology: a fixed actor pool plus two concurrent all-to-all
-    ops in a single streaming execution can starve each other on small
-    clusters (observed wedging at 8 CPUs), and sequential branches give
-    each stage the whole cluster — the same structure the shard-looped
-    job runner uses."""
+    The three families run as THREE CONCURRENT streaming executions
+    (one driver thread each, each materialized — outputs are violation
+    rows, small by design), NOT as one 3-branch union topology: a fixed
+    actor pool plus two all-to-all ops inside a single execution starve
+    each other on small clusters (observed wedging at 8 CPUs), but
+    separate executions time-share the scheduler cleanly. Overlap
+    matters for scaling: the row suite is compute-bound and scales at
+    the hardware ceiling, while the dup/near-dup shuffles carry ~1 s of
+    fixed orchestration each that would otherwise sit on the critical
+    path at every cluster size (measured: sequential 16.3 s vs
+    overlapped ~12.5 s at 32 CPUs on the 800k corpus — the shuffle
+    stages hide entirely behind the decode suite)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     ref_handle = load_ref_handle(ref_path) if ref_path else None
     nb = keycol_num_blocks()
-    v_rows = row_violations(
+    # plan construction stays sequential — read_parquet schema inference
+    # trips a thread-unsafe lazy fsspec import when three reads are
+    # created at once; only the materializations overlap
+    rows_ds = row_violations(
         read_images(images_path, partitions=partitions), cfg,
-        ref_handle=ref_handle).materialize()
-    v_dup = dup_violations(
+        ref_handle=ref_handle)
+    dup_ds = dup_violations(
         read_images(images_path, columns=["image_id", "partition_id"],
-                    partitions=partitions, num_blocks=nb)).materialize()
-    v_near = near_dup_violations(
+                    partitions=partitions, num_blocks=nb))
+    near_ds = near_dup_violations(
         read_images(images_path, columns=["image_id", "phash", "partition_id"],
-                    partitions=partitions, num_blocks=nb), cfg).materialize()
+                    partitions=partitions, num_blocks=nb), cfg)
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        f_rows, f_dup, f_near = (ex.submit(rows_ds.materialize),
+                                 ex.submit(dup_ds.materialize),
+                                 ex.submit(near_ds.materialize))
+        v_rows, v_dup, v_near = (f_rows.result(), f_dup.result(),
+                                 f_near.result())
     return v_rows.union(v_dup).union(v_near)
 
 
@@ -360,3 +376,53 @@ def partition_status(images_path: str, violations: rd.Dataset) -> pd.DataFrame:
     return out.sort_values("partition_id")[
         ["partition_id", "rows", "pass", "violation_count"]
     ].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Image similarity search: top-k nearest stored phashes to a query
+# image, by Hamming distance. The image-side mirror of
+# embeddings.emb_cosine_topk: a skinny (image_id, phash) read, one
+# vectorized XOR-popcount per batch, associative per-batch partial
+# top-k (k rows per block cross the wire, never the corpus), exact
+# driver merge. Deterministic ties: (distance, image_id) ascending.
+
+
+def phash_topk(images_path: str, query_image_id: str,
+               k: int = 10) -> "pd.DataFrame":
+    import pandas as pd
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from tag_ray.codecs.phash import hamming64
+
+    # query row via a row-filtered pruned read — never a full-table scan
+    q = pads.dataset(images_path).to_table(
+        columns=["phash"],
+        filter=pc.field("image_id") == query_image_id)
+    if q.num_rows == 0:
+        raise KeyError(f"unknown image_id {query_image_id!r}")
+    qhash = np.int64(q["phash"][0].as_py())
+
+    def partial_topk(b: pa.Table) -> pa.Table:
+        ids = b["image_id"].to_numpy(zero_copy_only=False)
+        keep = ids != query_image_id
+        ids = ids[keep]
+        hs = b["phash"].to_numpy(zero_copy_only=False)[keep]
+        d = hamming64(hs, np.full(len(hs), qhash))
+        if len(d) > k:
+            # keep everything at or under the k-th distance — ties at
+            # the cutoff must ALL survive the partial, or the driver
+            # merge could miss the winner of an id tiebreak
+            kth = np.partition(d, k - 1)[k - 1]
+            idx = np.flatnonzero(d <= kth)
+        else:
+            idx = np.arange(len(d))
+        sel = idx[np.lexsort((ids[idx], d[idx]))]
+        return pa.Table.from_pydict({
+            "image_id": pa.array(ids[sel]),
+            "hamming": pa.array(d[sel].astype(np.int64))})
+
+    parts = read_images(images_path, columns=["image_id", "phash"]) \
+        .map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["hamming", "image_id"], kind="mergesort")
+    return parts.head(k).reset_index(drop=True)
