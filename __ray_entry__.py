@@ -67,6 +67,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = DR.feature_drift(V.read_images(c + "/images"))
         return out[["partition_id", "feature", "n", "drifted"]]
 
+    def img_thumbnails(sf_dir: str):
+        """Multimodal actor-pool stage as a driver-visible pipeline:
+        decode → nearest-neighbor resize → re-encode (stages/multimodal
+        .ImageResize), summarized to (image_id, fmt, w, h, n_bytes)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from tag_ray.stages.multimodal import ImageResize
+
+        c = _image_corpus(sf_dir)
+        ds = V.read_images(c + "/images", columns=["image_id", "bytes"])
+        thumbs = ds.map_batches(ImageResize, fn_constructor_args=(16, 16),
+                                batch_format="pyarrow",
+                                concurrency=(1, 4), batch_size=256)
+
+        def summarize(b: pa.Table) -> pa.Table:
+            return pa.Table.from_pydict({
+                "image_id": b["image_id"],
+                "fmt": b["fmt"], "w": b["w"], "h": b["h"],
+                "n_bytes": pc.binary_length(b["bytes"]).cast(pa.int64()),
+            })
+
+        return thumbs.map_batches(summarize, batch_format="pyarrow")
+
     def img_phash_topk(sf_dir: str):
         c = _image_corpus(sf_dir)
         return V.phash_topk(c + "/images", "img-0000-000000", k=10)
@@ -87,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_drift": img_drift,
         "img_column_stats": img_column_stats,
         "img_phash_topk": img_phash_topk,
+        "img_thumbnails": img_thumbnails,
         # --- relational operator surface (oracle-checked) ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_revenue_topk": R.q3_revenue_topk,
