@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "party_activity_full": R.party_activity_full,
         "lineitem_open_orders": R.lineitem_open_orders,
         "big_quantity_orders": R.big_quantity_orders,
+        "orders_rank_in_customer": R.orders_rank_in_customer,
         # --- text analysis (oracle-checked) ---
         "doc_lang_counts": T.doc_lang_counts,
         "doc_token_stats": T.doc_token_stats,
@@ -235,6 +236,7 @@ def oracle_sql() -> dict[str, str]:
         "party_activity_full": R.FULL_OUTER_SQL,
         "lineitem_open_orders": R.OPEN_ORDERS_SQL,
         "big_quantity_orders": R.big_quantity_orders_sql(),
+        "orders_rank_in_customer": R.RANK_IN_CUSTOMER_SQL,
         "doc_unique_words": T.UNIQUE_WORDS_SQL,
         "docs_cube": T.DOCS_CUBE_SQL,
         "doc_source_len_quantiles": T.SOURCE_LEN_QUANTILES_SQL,

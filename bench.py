@@ -121,6 +121,11 @@ def _median(xs: list[float]) -> float:
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
+def _cv(xs: list[float]) -> float:
+    m = sum(xs) / len(xs)
+    return (sum((x - m) ** 2 for x in xs) / len(xs)) ** 0.5 / m if m else 0.0
+
+
 def _ceiling_pair(plo, phi, lo: int, hi: int, flip: bool) -> float:
     """ONE lo/hi kernel-burn pair on pre-warmed pools (fork cost out of
     the measurement; order flips per trial to debias intra-pair
@@ -267,6 +272,11 @@ def main() -> None:
             "trials_lo": [round(SCALING_ROWS / s, 2) for s in secs[lo]],
             "trials_hi": [round(SCALING_ROWS / s, 2) for s in secs[hi]],
             "num_cpus_lo": lo, "num_cpus_hi": hi,
+            # sweep-trial coefficient of variation: the epoch-quality
+            # gauge for THIS run — clean epochs land ≤0.05, dirty ones
+            # 0.15+ (and depress every pair efficiency; see BASELINE.md)
+            "sweep_cv_lo": round(_cv(secs[lo]), 3),
+            "sweep_cv_hi": round(_cv(secs[hi]), 3),
             "physical_cpus": os.cpu_count(),
             # Same-protocol ceiling: the flagship's own decode+phash
             # kernel, embarrassingly parallel via multiprocessing (no

@@ -1749,3 +1749,53 @@ FROM orders JOIN (
   FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > {min_qty}
 ) ON o_orderkey = l_orderkey
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-group ROW_NUMBER window: each order's rank within its customer by
+# (date, orderkey). The partitioned complement of the GLOBAL ranking
+# query — one coarse-bucket co-location on the partition key, then a
+# single lexsort + run-detect arange over the whole bucket (no
+# per-customer Python, same whole-bucket discipline as every other
+# window here).
+
+
+def orders_rank_in_customer(sf_dir: str) -> rd.Dataset:
+    from tag_ray.functions.grouping import coarse_bucket_apply
+
+    od = table(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "o_orderkey": b["o_orderkey"],
+            "o_custkey": b["o_custkey"],
+            "date_us": b["o_orderdate"].cast(pa.int64()),
+        })
+
+    def bucket_rank(g: pd.DataFrame) -> pd.DataFrame:
+        ck = g["o_custkey"].to_numpy()
+        order = np.lexsort((g["o_orderkey"].to_numpy(),
+                            g["date_us"].to_numpy(), ck))
+        cks = ck[order]
+        new = np.ones(len(cks), dtype=bool)
+        new[1:] = cks[1:] != cks[:-1]
+        # rank within run = position − position-of-run-start + 1
+        idx = np.arange(len(cks), dtype=np.int64)
+        starts = np.maximum.accumulate(np.where(new, idx, 0))
+        rk = idx - starts + 1
+        return pd.DataFrame({
+            "o_orderkey": g["o_orderkey"].to_numpy()[order],
+            "o_custkey": cks,
+            "rk": rk})
+
+    return coarse_bucket_apply(od.map_batches(derive, batch_format="pyarrow"),
+                               ["o_custkey"], bucket_rank, num_buckets=None)
+
+
+RANK_IN_CUSTOMER_SQL = """
+SELECT o_orderkey, o_custkey,
+       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey) AS rk
+FROM orders
+"""
