@@ -281,7 +281,9 @@ def main() -> None:
             # Same-protocol ceiling: the flagship's own decode+phash
             # kernel, embarrassingly parallel via multiprocessing (no
             # Ray, no IPC, no shared state) at lo vs hi processes on
-            # THIS box, median of 3. Sub-1.0 means the platform itself
+            # THIS box — median of SCALING_TRIALS burn pairs, each run
+            # interleaved right after its sweep pair (same steal
+            # epoch). Sub-1.0 means the platform itself
             # (clock steal, shared caches/memory) cannot deliver hi/lo×
             # of this compute within one machine — a limit real N→4N
             # NODE scaling does not have. value/hw_ceiling is the

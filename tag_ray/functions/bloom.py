@@ -60,8 +60,9 @@ def build_bloom(keys_ds: rd.Dataset, key_col: str,
     # driver-side streaming OR of one small row per block (tree-reduce
     # in prod; the merge op is associative and commutative)
     for batch in keys_ds.map_batches(
-            local_bitmap, batch_format="pyarrow").iter_batches(
-            batch_size=None, batch_format="pyarrow"):
+            local_bitmap, batch_format="pyarrow",
+            batch_size=None).iter_batches(  # one bitmap per BLOCK, not
+            batch_size=None, batch_format="pyarrow"):  # per 1024 rows
         for buf in batch["bm"].to_pylist():
             merged |= np.frombuffer(buf, dtype=np.uint64)
     return ray.put((merged, n_bits_log2))

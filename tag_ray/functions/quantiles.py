@@ -1,0 +1,57 @@
+"""Exact grouped quantiles via mergeable value histograms.
+
+For value columns with bounded distinct values (quantities, lengths,
+scores on a grid) the exact quantile needs no sort: per-batch
+(key, value) → count partials merge exactly in any order, the exchange
+carries histogram cells (dictionary-sized, never row-sized), and the
+quantile is interpolated from cumulative counts on the driver.
+
+``_interp`` replicates DuckDB ``quantile_cont`` bit-for-bit:
+``lo*(ceil(h)-h) + hi*(h-floor(h))`` with ``h=(n-1)·q`` (the recipe
+pinned in CLAUDE.md; any oracle-compared quantile MUST go through this
+one implementation — a second copy once drifted and hash-mismatched)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+
+def _interp(vals: np.ndarray, cum: np.ndarray, p: float) -> float:
+    n = cum[-1]
+    h = (n - 1) * p
+    fl, ce = np.floor(h), np.ceil(h)
+    lo = vals[np.searchsorted(cum, fl, side="right")]
+    hi = vals[np.searchsorted(cum, ce, side="right")]
+    if fl == ce:
+        return float(lo)
+    return float(lo * (ce - h) + hi * (h - fl))
+
+
+def grouped_histogram_quantiles(ds: rd.Dataset, key_col: str, val_col: str,
+                                probs: dict[str, float]) -> pd.DataFrame:
+    """One row per distinct ``key_col``: ``n`` plus one column per
+    ``probs`` entry (name → quantile). Exact for any value column whose
+    (key, value) cell count fits the driver (bounded dictionaries)."""
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            key_col: b[key_col].to_pandas(),
+            "v": b[val_col].to_numpy(zero_copy_only=False)})
+        g = df.groupby([key_col, "v"], sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    hist = parts.groupby([key_col, "v"], sort=True)["n"].sum().reset_index()
+
+    rows = []
+    for key, g in hist.groupby(key_col, sort=True):
+        vals = g["v"].to_numpy()
+        cum = g["n"].to_numpy().cumsum()
+        row = {key_col: key, "n": int(cum[-1])}
+        for name, p in probs.items():
+            row[name] = _interp(vals, cum, p)
+        rows.append(row)
+    return pd.DataFrame(rows)

@@ -78,7 +78,10 @@ def global_rank(ds: rd.Dataset, key_col: str, tie_col: str,
             _RBKT, pa.array(np.searchsorted(cuts, v, side="left")
                             .astype(np.int32)))
 
-    bucketed = ds.map_batches(assign, batch_format="pyarrow")
+    # materialize once: both the count pass and the rank pass consume
+    # this skinny keyed table — without it the upstream read + key map
+    # would execute twice more on top of the sample pass
+    bucketed = ds.map_batches(assign, batch_format="pyarrow").materialize()
 
     # 2. per-bucket counts → prefix offsets (num_buckets ints, driver)
     counts = bucketed.groupby(_RBKT).count().to_pandas()

@@ -1031,40 +1031,13 @@ FROM orders QUALIFY gap_us IS NOT NULL
 
 
 def lineitem_quantity_quantiles(sf_dir: str) -> pd.DataFrame:
+    from tag_ray.functions.quantiles import grouped_histogram_quantiles
+
     li = table(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
-
-    def partial(b: pa.Table) -> pa.Table:
-        df = pd.DataFrame({
-            "l_returnflag": b["l_returnflag"].to_pandas(),
-            "q": b["l_quantity"].to_numpy(zero_copy_only=False)})
-        g = df.groupby(["l_returnflag", "q"], sort=False).size() \
-              .reset_index(name="n")
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    parts = li.map_batches(partial, batch_format="pyarrow").to_pandas()
-    hist = parts.groupby(["l_returnflag", "q"], sort=True)["n"].sum() \
-                .reset_index()
-
-    def interp(vals: np.ndarray, cum: np.ndarray, p: float) -> float:
-        n = cum[-1]
-        h = (n - 1) * p
-        fl, ce = np.floor(h), np.ceil(h)
-        lo = vals[np.searchsorted(cum, fl, side="right")]
-        hi = vals[np.searchsorted(cum, ce, side="right")]
-        if fl == ce:
-            return float(lo)
-        return float(lo * (ce - h) + hi * (h - fl))
-
-    rows = []
-    for flag, g in hist.groupby("l_returnflag", sort=True):
-        vals = g["q"].to_numpy()
-        cum = g["n"].to_numpy().cumsum()
-        rows.append({
-            "l_returnflag": flag, "n": int(cum[-1]),
-            "p25": interp(vals, cum, 0.25),
-            "p50": interp(vals, cum, 0.50),
-            "p75": interp(vals, cum, 0.75)})
-    return pd.DataFrame(rows)
+    out = grouped_histogram_quantiles(
+        li, "l_returnflag", "l_quantity",
+        {"p25": 0.25, "p50": 0.50, "p75": 0.75})
+    return out[["l_returnflag", "n", "p25", "p50", "p75"]]
 
 
 QUANTILES_SQL = """
@@ -1629,11 +1602,13 @@ def lineitem_open_orders(sf_dir: str) -> pd.DataFrame:
     from tag_ray.functions.bloom import build_bloom, probe_mask
     from tag_ray.functions.grouping import coarse_bucket_apply
 
+    # materialized once: build_bloom fully consumes it and keys_tagged
+    # re-reads it — without this the orders scan + filter runs twice
     open_keys = table(sf_dir, "orders",
                       columns=["o_orderkey", "o_orderstatus"]).map_batches(
         lambda b: b.filter(pc.equal(b["o_orderstatus"], "O"))
                    .select(["o_orderkey"]),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()
     handle = build_bloom(open_keys, "o_orderkey")
 
     def prefilter(b: pa.Table) -> pa.Table:

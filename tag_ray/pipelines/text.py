@@ -760,7 +760,8 @@ def doc_word_heavy_hitters(sf_dir: str, k: int = 256,
         mg = pickle.loads(row["sk"])
         merged = mg if merged is None else merged.merge(mg)
     if merged is None:
-        return pd.DataFrame({"item": [], "est_count": []})
+        return pd.DataFrame({"item": pd.Series(dtype=str),
+                             "est_count": pd.Series(dtype="int64")})
     out = merged.heavy_hitters(min_frac)
     out["item"] = out["item"].astype(str)
     out["est_count"] = out["est_count"].astype("int64")
@@ -776,36 +777,12 @@ def doc_word_heavy_hitters(sf_dir: str, k: int = 256,
 
 
 def doc_source_len_quantiles(sf_dir: str) -> pd.DataFrame:
+    from tag_ray.functions.quantiles import grouped_histogram_quantiles
+
     docs = table(sf_dir, "documents", columns=["source", "n_chars"])
-
-    def partial(b: pa.Table) -> pa.Table:
-        df = pd.DataFrame({
-            "source": b["source"].to_pandas(),
-            "v": b["n_chars"].to_numpy(zero_copy_only=False)})
-        g = df.groupby(["source", "v"], sort=False).size().reset_index(name="n")
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    parts = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
-    hist = parts.groupby(["source", "v"], sort=True)["n"].sum().reset_index()
-
-    def interp(vals: np.ndarray, cum: np.ndarray, p: float) -> float:
-        n = cum[-1]
-        h = (n - 1) * p
-        fl, ce = np.floor(h), np.ceil(h)
-        lo = vals[np.searchsorted(cum, fl, side="right")]
-        hi = vals[np.searchsorted(cum, ce, side="right")]
-        if fl == ce:
-            return float(lo)
-        return float(lo * (ce - h) + hi * (h - fl))
-
-    rows = []
-    for src, g in hist.groupby("source", sort=True):
-        vals = g["v"].to_numpy()
-        cum = g["n"].to_numpy().cumsum()
-        rows.append({"source": src, "n": int(cum[-1]),
-                     "p50": interp(vals, cum, 0.50),
-                     "p90": interp(vals, cum, 0.90)})
-    return pd.DataFrame(rows)
+    out = grouped_histogram_quantiles(
+        docs, "source", "n_chars", {"p50": 0.50, "p90": 0.90})
+    return out[["source", "n", "p50", "p90"]]
 
 
 SOURCE_LEN_QUANTILES_SQL = """
@@ -834,11 +811,11 @@ def doc_redact_numbers(sf_dir: str) -> rd.Dataset:
         import tag_ray.pipelines.text as _t
         if _t._REDACT_RE is None:  # once per worker (resolve via module,
             _t._REDACT_RE = re.compile(r"\d{4,}")  # not closure globals)
-        sub = _t._REDACT_RE.sub
-        texts = b["text"].to_pylist()
-        red = [None if t is None else sub("[NUM]", t) for t in texts]
-        n_hits = [0 if t is None else len(_t._REDACT_RE.findall(t))
-                  for t in texts]
+        subn = _t._REDACT_RE.subn
+        pairs = [(None, 0) if t is None else subn("[NUM]", t)
+                 for t in b["text"].to_pylist()]  # one scan: text + count
+        red = [p[0] for p in pairs]
+        n_hits = [p[1] for p in pairs]
         return pa.Table.from_pydict({
             "doc_id": b["doc_id"],
             "text_red": pa.array(red, pa.string()),

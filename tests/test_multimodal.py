@@ -75,3 +75,16 @@ def test_strict_mode_raises():
         AudioDecodeStub(strict=True)._pcm(b"x", 10)
     with pytest.raises(NotImplementedError):
         FrameSampler(strict=True)._frame(b"x", 0)
+
+
+def test_img_thumbnails_query(ray_session):
+    """The driver-visible wrapper around ImageResize: registration,
+    pruned read, actor-pool plumbing, summary schema."""
+    import __ray_entry__ as entrymod
+
+    df = entrymod.queries()["img_thumbnails"]("/root/testdata/sf0.001").to_pandas()
+    assert len(df) > 900  # 1000 images minus undecodable violation rows
+    assert list(df.columns) == ["image_id", "fmt", "w", "h", "n_bytes"]
+    assert (df["w"] == 16).all() and (df["h"] == 16).all()
+    assert (df["fmt"] == "ppm").all()
+    assert (df["n_bytes"] > 0).all()
