@@ -54,3 +54,21 @@ def test_ntile_matches_duckdb(n, k):
     ).fetchnumpy()
     want = next(iter(want.values()))
     assert (got == np.asarray(want)).all(), (n, k, got, want)
+
+
+def test_ntile_matches_duckdb_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    con = duckdb.connect()
+
+    @settings(max_examples=40, deadline=None)
+    @given(n=st.integers(1, 400), k=st.integers(1, 20))
+    def check(n, k):
+        got = ntile_of(np.arange(n), n, k)
+        want = next(iter(con.execute(
+            f"SELECT NTILE({k}) OVER (ORDER BY i) FROM range({n}) t(i)"
+        ).fetchnumpy().values()))
+        assert (got == np.asarray(want)).all(), (n, k)
+
+    check()
