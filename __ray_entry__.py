@@ -150,6 +150,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_open_orders": R.lineitem_open_orders,
         "big_quantity_orders": R.big_quantity_orders,
         "orders_rank_in_customer": R.orders_rank_in_customer,
+        "party_keys_intersect": R.party_keys_intersect,
+        "party_keys_except": R.party_keys_except,
         # --- text analysis (oracle-checked) ---
         "doc_lang_counts": T.doc_lang_counts,
         "doc_token_stats": T.doc_token_stats,
@@ -237,6 +239,8 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_open_orders": R.OPEN_ORDERS_SQL,
         "big_quantity_orders": R.big_quantity_orders_sql(),
         "orders_rank_in_customer": R.RANK_IN_CUSTOMER_SQL,
+        "party_keys_intersect": R.INTERSECT_SQL,
+        "party_keys_except": R.EXCEPT_SQL,
         "doc_unique_words": T.UNIQUE_WORDS_SQL,
         "docs_cube": T.DOCS_CUBE_SQL,
         "doc_source_len_quantiles": T.SOURCE_LEN_QUANTILES_SQL,

@@ -1774,3 +1774,60 @@ SELECT o_orderkey, o_custkey,
                           ORDER BY o_orderdate, o_orderkey) AS rk
 FROM orders
 """
+
+
+# ---------------------------------------------------------------------------
+# Set operations over key columns: INTERSECT and EXCEPT of the customer
+# key set vs the events user set. One tagged union + coarse-bucket
+# co-location resolves both (the exchange carries distinct per-block
+# keys with a side bitmask, never rows); results are DISTINCT key sets
+# per ANSI set-op semantics.
+
+
+def _party_key_sets(sf_dir: str, want: str) -> rd.Dataset:
+    from tag_ray.functions.grouping import coarse_bucket_apply
+
+    def tagged(col: str, bit: int):
+        def fn(b: pa.Table) -> pa.Table:
+            u = np.unique(b[col].to_numpy(zero_copy_only=False))
+            return pa.Table.from_pydict({
+                "key": pa.array(u.astype(np.int64)),
+                "side": pa.array(np.full(len(u), bit, np.int8))})
+        return fn
+
+    cust = table(sf_dir, "customer", columns=["c_custkey"]).map_batches(
+        tagged("c_custkey", 1), batch_format="pyarrow")
+    ev = table(sf_dir, "events", columns=["user_id"]).map_batches(
+        tagged("user_id", 2), batch_format="pyarrow")
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # sides are 1 (customer) / 2 (events); after a (key, side)
+        # dedup the per-key SUM is the OR: 1, 2 or 3 — fully C-level
+        d = g.drop_duplicates()
+        s = d.groupby("key", sort=True)["side"].sum()
+        target = 3 if want == "intersect" else 1
+        return pd.DataFrame({
+            "party_key": s.index[s == target].to_numpy().astype("int64")})
+
+    return coarse_bucket_apply(cust.union(ev), ["key"], bucket)
+
+
+def party_keys_intersect(sf_dir: str) -> rd.Dataset:
+    return _party_key_sets(sf_dir, "intersect")
+
+
+def party_keys_except(sf_dir: str) -> rd.Dataset:
+    return _party_key_sets(sf_dir, "except")
+
+
+INTERSECT_SQL = """
+SELECT c_custkey AS party_key FROM customer
+INTERSECT
+SELECT user_id FROM events
+"""
+
+EXCEPT_SQL = """
+SELECT c_custkey AS party_key FROM customer
+EXCEPT
+SELECT user_id FROM events
+"""
