@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_word_heavy_hitters": T.doc_word_heavy_hitters,
         "doc_source_len_quantiles": T.doc_source_len_quantiles,
         "doc_redact_numbers": T.doc_redact_numbers,
+        "doc_contamination_check": T.doc_contamination_check,
         "docs_cube": T.docs_cube,
         # --- dedup family ---
         "doc_exact_dup_groups": D.doc_exact_dup_groups,

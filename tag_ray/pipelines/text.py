@@ -285,8 +285,18 @@ def doc_winnow_fingerprint_pairs(sf_dir: str, min_shared: int = 10,
                                  max_df: int = 20) -> pd.DataFrame:
     """Doc pairs sharing >= ``min_shared`` winnowed fingerprints —
     substring-level near-dup detection (catches copied passages exact
-    Jaccard misses). explode (fingerprint, doc) → posting-list pairs via
-    coarse grouping → pair count filter.
+    Jaccard misses). See winnow_pairs_from."""
+    return winnow_pairs_from(table(sf_dir, "documents",
+                                   columns=["doc_id", "text"]),
+                             min_shared, k, window, max_df)
+
+
+def winnow_pairs_from(docs: "rd.Dataset", min_shared: int = 10,
+                      k: int = 12, window: int = 8,
+                      max_df: int = 20) -> pd.DataFrame:
+    """Winnow-pair engine over any (doc_id, text) Dataset: explode
+    (fingerprint, doc) → posting-list pairs via coarse grouping → pair
+    count filter, thresholded INSIDE the dataset.
 
     ``max_df``: fingerprints appearing in more than this many docs are
     boilerplate (common phrases) and are EXCLUDED before pairing — the
@@ -296,8 +306,6 @@ def doc_winnow_fingerprint_pairs(sf_dir: str, min_shared: int = 10,
 
     from tag_ray.functions.grouping import coarse_bucket_apply, run_pair_indices
     from ray.data.aggregate import Count
-
-    docs = table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def explode(b: pa.Table) -> pa.Table:
         ids = b["doc_id"].to_numpy(zero_copy_only=False)
@@ -831,3 +839,37 @@ SELECT doc_id,
             ELSE len(regexp_extract_all(text, '\d{4,}')) END AS n_redacted
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# Train/eval contamination check — the decontamination pass every LLM
+# training pipeline runs before a benchmark eval: flag training docs
+# sharing >= min_shared winnowed fingerprints with any eval-set doc
+# (substring-level overlap catches paraphrase-adjacent leakage exact
+# dedup misses). Rides the winnow-pair engine; the eval set here is the
+# deterministic hash split doc_id % eval_mod == 0 (swap in a real
+# benchmark id list in prod).
+
+
+def doc_contamination_check(sf_dir: str, eval_mod: int = 20,
+                            min_shared: int = 8, k: int = 12,
+                            window: int = 8,
+                            max_df: int = 20) -> pd.DataFrame:
+    docs = table(sf_dir, "documents", columns=["doc_id", "text"])
+    return contamination_from(docs, eval_mod, min_shared, k, window, max_df)
+
+
+def contamination_from(docs: rd.Dataset, eval_mod: int = 20,
+                       min_shared: int = 8, k: int = 12, window: int = 8,
+                       max_df: int = 20) -> pd.DataFrame:
+    pairs = winnow_pairs_from(docs, min_shared, k, window, max_df)
+    a_eval = (pairs["doc_id_a"] % eval_mod == 0).to_numpy()
+    b_eval = (pairs["doc_id_b"] % eval_mod == 0).to_numpy()
+    cross = a_eval != b_eval
+    pe = pairs[cross]
+    eval_doc = np.where(a_eval[cross], pe["doc_id_a"], pe["doc_id_b"])
+    train_doc = np.where(a_eval[cross], pe["doc_id_b"], pe["doc_id_a"])
+    out = pd.DataFrame({"eval_doc": eval_doc.astype("int64"),
+                        "train_doc": train_doc.astype("int64"),
+                        "n_shared": pe["n_shared"].to_numpy()})
+    return out.sort_values(["eval_doc", "train_doc"]).reset_index(drop=True)

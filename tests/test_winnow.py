@@ -38,3 +38,35 @@ def test_pairs_on_corpus(ray_session):
     assert len(df) >= 20
     assert (df["n_shared"] >= 10).all()
     assert (df["doc_id_a"] < df["doc_id_b"]).all()
+
+
+def test_contamination_check_finds_planted_leak(ray_session):
+    """Plant a shared passage between an eval doc (id % 20 == 0) and a
+    train doc; the decontamination pass must flag exactly that pair and
+    no same-set pairs."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from tag_ray.pipelines.text import contamination_from
+
+    passage = ("the quick brown fox jumps over the lazy dog while "
+               "seventeen violet zeppelins hover above the quiet harbor")
+    docs = pd.DataFrame({
+        "doc_id": [20, 7, 40, 41, 9],
+        "text": [
+            "intro words " + passage + " closing remarks",
+            "completely different text about gardening and rainfall patterns",
+            "prefix chatter " + passage + " and some trailing analysis",
+            "prefix chatter " + passage + " and some trailing analysis",
+            "unrelated musings on cartography and tide tables",
+        ]})
+    out = contamination_from(rd.from_pandas(docs).repartition(2),
+                             eval_mod=20, min_shared=5)
+    got = set(zip(out["eval_doc"], out["train_doc"]))
+    # eval docs: 20 and 40 (id % 20 == 0); train doc 41 carries the leak
+    assert (20, 41) in got, got
+    assert (40, 41) in got, got
+    # eval-eval overlap (20, 40) must NOT appear — same-set pair
+    assert all(t == 41 for _, t in got), got
+    assert not any(7 in p or 9 in p for p in got), got
