@@ -191,6 +191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_ivf_topk": E.emb_ivf_topk,
         "emb_kmeans": E.emb_kmeans,
         "emb_label_centroid": E.emb_label_centroid,
+        "emb_knn_classify": E.emb_knn_classify,
         # --- training-set materialization (resumable sharded write) ---
         "export_training_set": X.export_training_set_query,
     }
@@ -247,6 +248,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_source_len_quantiles": T.SOURCE_LEN_QUANTILES_SQL,
         "doc_redact_numbers": T.REDACT_SQL,
         "emb_label_centroid": E.LABEL_CENTROID_SQL,
+        "emb_knn_classify": E.knn_classify_sql(),
         "doc_lang_counts": T.LANG_COUNTS_SQL,
         "doc_token_stats": T.TOKEN_STATS_SQL,
         "doc_fingerprint": T.FINGERPRINT_SQL,

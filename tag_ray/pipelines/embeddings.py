@@ -140,10 +140,18 @@ def emb_cosine_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> pd.DataF
         cos_r = round_half_away(cos, 4)
         ids = b["vec_id"].to_numpy(zero_copy_only=False)
         keep = ids != exclude
-        order = np.lexsort((ids[keep], -cos_r[keep]))[:k]
+        cs, ds = cos_r[keep], ids[keep]
+        # tie-safe partial: 4-dp rounding makes tie plateaus real, and a
+        # dropped boundary tie could beat a kept one on the id tiebreak
+        # at the driver merge — keep everything at or above the k-th cos
+        if len(cs) > k:
+            kth = np.partition(cs, len(cs) - k)[len(cs) - k]
+            sel = cs >= kth
+            cs, ds = cs[sel], ds[sel]
+        order = np.lexsort((ds, -cs))
         return pa.Table.from_pydict({
-            "vec_id": pa.array(ids[keep][order]),
-            "cos": pa.array(cos_r[keep][order]),
+            "vec_id": pa.array(ds[order]),
+            "cos": pa.array(cs[order]),
         })
 
     partials = emb.map_batches(topk, batch_format="pyarrow")
@@ -349,4 +357,104 @@ FROM (SELECT label, generate_subscripts(embedding, 1) AS j,
              unnest(embedding) AS v
       FROM embeddings)
 GROUP BY label, j ORDER BY label, j
+"""
+
+
+# ---------------------------------------------------------------------------
+# Batched k-NN label classification: every query vector (a hash-split
+# subset of the table) gets its k nearest neighbors by cosine in ONE
+# streaming pass — the query matrix broadcasts once via ray.put, each
+# batch computes an (n × n_queries) matmul and emits tie-safe per-query
+# partial top-k rows, and the driver resolves majority labels on the
+# tiny (n_queries × k) union. Deterministic end to end: neighbors by
+# (cos DESC, vec_id), label votes by (votes DESC, label).
+
+
+def emb_knn_classify(sf_dir: str, query_mod: int = 50, k: int = 10) -> pd.DataFrame:
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from tag_ray.sources import table_path
+
+    # row-filtered pruned read of the query subset: dataset expressions
+    # have no modulo, so resolve the id list from the skinny id column
+    # first, then push an isin filter for the embedding read
+    ds_q = pads.dataset(table_path(sf_dir, "embeddings"))
+    all_ids = ds_q.to_table(columns=["vec_id"])["vec_id"] \
+        .to_numpy(zero_copy_only=False)
+    want = np.asarray(all_ids)[np.asarray(all_ids) % query_mod == 0]
+    qt = ds_q.to_table(columns=["vec_id", "embedding"],
+                       filter=pc.field("vec_id").isin(pa.array(want)))
+    q_ids = qt["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    Q = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in qt["embedding"].to_pylist()])
+    qn = np.sqrt((Q * Q).sum(axis=1))
+    handle = ray.put((q_ids, Q, np.where(qn == 0, 1.0, qn)))
+
+    emb = table(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        qi, qm, qnorm = ray.get(handle)
+        m = _emb_matrix(b).astype(np.float64)
+        norms = np.sqrt((m * m).sum(axis=1))
+        cos = (m @ qm.T) / (np.where(norms == 0, 1.0, norms)[:, None]
+                            * qnorm[None, :])
+        cos_r = round_half_away(cos, 4)
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        labels = b["label"].to_numpy(zero_copy_only=False)
+        out_q, out_id, out_lab, out_cos = [], [], [], []
+        for j in range(len(qi)):
+            keep = ids != qi[j]
+            cs, ds_, ls = cos_r[keep, j], ids[keep], labels[keep]
+            if len(cs) > k:  # tie-safe: keep everything >= k-th cos
+                kth = np.partition(cs, len(cs) - k)[len(cs) - k]
+                sel = cs >= kth
+                cs, ds_, ls = cs[sel], ds_[sel], ls[sel]
+            out_q.append(np.full(len(cs), qi[j], np.int64))
+            out_id.append(ds_)
+            out_lab.append(ls)
+            out_cos.append(cs)
+        return pa.Table.from_pydict({
+            "q_id": pa.array(np.concatenate(out_q)),
+            "vec_id": pa.array(np.concatenate(out_id)),
+            "label": pa.array(np.concatenate(out_lab)),
+            "cos": pa.array(np.concatenate(out_cos))})
+
+    parts = emb.map_batches(partial, batch_format="pyarrow").to_pandas()
+    rows = []
+    for q, g in parts.groupby("q_id", sort=True):
+        g = g.sort_values(["cos", "vec_id"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        votes = g.groupby("label").size().reset_index(name="votes")
+        votes = votes.sort_values(["votes", "label"],
+                                  ascending=[False, True], kind="mergesort")
+        rows.append({"q_id": int(q),
+                     "pred_label": int(votes["label"].iloc[0]),
+                     "votes": int(votes["votes"].iloc[0])})
+    return pd.DataFrame(rows)
+
+
+def knn_classify_sql(query_mod: int = 50, k: int = 10) -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+           WHERE vec_id % {query_mod} = 0),
+cos AS (
+  SELECT q.q_id, e.vec_id, e.label,
+         ROUND(list_sum(list_transform(list_zip(e.embedding, q.qe),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(q.qe,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           4) AS cos
+  FROM embeddings e, q WHERE e.vec_id != q.q_id),
+nn AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY cos DESC, vec_id) AS rk
+       FROM cos),
+votes AS (SELECT q_id, label, COUNT(*) AS votes
+          FROM nn WHERE rk <= {k} GROUP BY q_id, label)
+SELECT q_id, label AS pred_label, votes FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY votes DESC, label) AS vr
+  FROM votes) WHERE vr = 1
 """
