@@ -70,9 +70,11 @@ TRAILER_LEN = 128
 
 def split_trailer(data: bytes | None) -> tuple[bytes | None, bytes | None]:
     """(payload, trailer-or-None). A trailer is exactly the last 128
-    bytes when they start with ``TRAILER_MAGIC`` and a recognized
-    payload magic precedes them (so a 128-byte pure-trailer cell is not
-    mistaken for an empty payload with annotation)."""
+    bytes when they start with ``TRAILER_MAGIC`` and a NON-EMPTY payload
+    precedes them (strict ``>`` length check, so a 128-byte pure-trailer
+    cell is not mistaken for an empty payload with annotation; payload
+    magic validity is the caller's concern — checks/row_checks.py judges
+    the stripped payload on its own)."""
     if data is not None and len(data) > TRAILER_LEN \
             and data[-TRAILER_LEN:][:len(TRAILER_MAGIC)] == TRAILER_MAGIC:
         return data[:-TRAILER_LEN], data[-TRAILER_LEN:]
@@ -83,16 +85,15 @@ def identify(data: bytes | None) -> str | None:
     """Magic-byte classification only (no parse) — tag.Identify (id.go:9-81).
 
     Like the reference's EOF-128 ID3v1 probe, a trailing annotation
-    block does not change the detected format: the prefix of the
-    payload (trailer stripped) decides."""
+    block does not change the detected format: the trailer sits at EOF,
+    so the payload's prefix IS the data's prefix and one prefix scan
+    covers both (a trailer-stripped re-probe would re-read the same
+    bytes — removed as dead code)."""
     if not data:
         return None
     for magic, fmt in MAGIC_TABLE:
         if data[: len(magic)] == magic:
             return fmt
-    payload, trailer = split_trailer(data)
-    if trailer is not None:
-        return identify(payload)
     return None
 
 

@@ -40,18 +40,24 @@ def grouped_histogram_quantiles(ds: rd.Dataset, key_col: str, val_col: str,
         df = pd.DataFrame({
             key_col: b[key_col].to_pandas(),
             "v": b[val_col].to_numpy(zero_copy_only=False)})
-        g = df.groupby([key_col, "v"], sort=False).size().reset_index(name="n")
+        # NULL values: quantile_cont ignores them but COUNT(*) does not
+        # — carry them as explicit null-cells so ``n`` mirrors COUNT(*)
+        g = df.groupby([key_col, "v"], sort=False, dropna=False) \
+              .size().reset_index(name="n")
         return pa.Table.from_pandas(g, preserve_index=False)
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    hist = parts.groupby([key_col, "v"], sort=True)["n"].sum().reset_index()
+    hist = parts.groupby([key_col, "v"], sort=True, dropna=False)["n"] \
+                .sum().reset_index()
 
     rows = []
     for key, g in hist.groupby(key_col, sort=True):
-        vals = g["v"].to_numpy()
-        cum = g["n"].to_numpy().cumsum()
-        row = {key_col: key, "n": int(cum[-1])}
+        null_mask = g["v"].isna().to_numpy()
+        gv = g[~null_mask]
+        vals = gv["v"].to_numpy()
+        cum = gv["n"].to_numpy().cumsum()
+        row = {key_col: key, "n": int(g["n"].sum())}
         for name, p in probs.items():
-            row[name] = _interp(vals, cum, p)
+            row[name] = _interp(vals, cum, p) if len(vals) else float("nan")
         rows.append(row)
     return pd.DataFrame(rows)

@@ -85,6 +85,7 @@ def _feature_rows_fn(handle, feature_fn: Callable, id_col: str,
 # 3.7 s for a 25-pair set at sf0.1); the join path takes over when the
 # candidate set is genuinely large.
 _BROADCAST_FEAT_LIMIT = 100_000
+_BROADCAST_FEAT_BYTES = 256 * 1024 * 1024  # driver-collect byte bound
 
 
 def _attach_broadcast_fn(handle, a: str, b: str):
@@ -123,7 +124,14 @@ def _join_features(cand: rd.Dataset, base: rd.Dataset, a: str, b: str,
     feats = base.map_batches(
         _feature_rows_fn(handle, feature_fn, id_col, payload_col),
         batch_format="pyarrow").materialize()
-    if len(ids) <= _BROADCAST_FEAT_LIMIT:
+    # broadcast only when the FEATURE BYTES are small, not just the id
+    # count — long documents make 100k shingle blobs multi-GB, and the
+    # whole point of this module is never materializing that on the
+    # driver (CLAUDE.md invariant); the bytes gate keeps the fast path
+    # for the common tiny candidate sets and routes heavy ones to the
+    # distributed join below
+    if (len(ids) <= _BROADCAST_FEAT_LIMIT
+            and (feats.size_bytes() or 0) <= _BROADCAST_FEAT_BYTES):
         parts = [t for t in feats.iter_batches(batch_format="pyarrow",
                                                batch_size=None)]
         tbl = pa.concat_tables(parts) if parts else pa.Table.from_pydict(

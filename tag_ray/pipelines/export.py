@@ -34,20 +34,12 @@ from tag_ray.sources import table
 
 
 def _quality_mask(texts: list, min_words: int, min_alpha_frac: float):
-    import re
+    # THE shared gate arithmetic — same kernel as the oracle-checked
+    # doc_quality_filter_apply, so the exported set can never silently
+    # diverge from the pinned filter semantics
+    from tag_ray.pipelines.text import quality_stats
 
-    ws, al = re.compile(r"\S+"), re.compile(r"[A-Za-z]")
-    n = len(texts)
-    n_words = np.zeros(n, np.int64)
-    n_alpha = np.zeros(n, np.int64)
-    n_chars = np.zeros(n, np.int64)
-    for i, t in enumerate(texts):
-        t = t or ""
-        n_words[i] = len(ws.findall(t))
-        n_alpha[i] = len(al.findall(t))
-        n_chars[i] = len(t)
-    with np.errstate(invalid="ignore", divide="ignore"):
-        alpha_frac = np.where(n_chars > 0, n_alpha / n_chars, 0.0)
+    n_words, alpha_frac = quality_stats(texts)
     return (n_words >= min_words) & (alpha_frac >= min_alpha_frac)
 
 

@@ -432,27 +432,35 @@ FROM documents
 # filter is oracle-checked end-to-end.
 
 
-def doc_quality_filter_apply(sf_dir: str, min_words: int = 5,
-                             min_alpha_frac: float = 0.5) -> rd.Dataset:
+def quality_stats(texts: list) -> tuple[np.ndarray, np.ndarray]:
+    """(n_words, alpha_frac) per text — THE quality-gate arithmetic,
+    shared by the oracle-checked filter below and the training-set
+    export gate (pipelines/export.py); one implementation so the two
+    can never silently diverge."""
     import re
 
+    ws = re.compile(r"\S+")
+    al = re.compile(r"[A-Za-z]")
+    n = len(texts)
+    n_words = np.zeros(n, np.int64)
+    n_alpha = np.zeros(n, np.int64)
+    n_chars = np.zeros(n, np.int64)
+    for i, t in enumerate(texts):
+        t = t or ""
+        n_words[i] = len(ws.findall(t))
+        n_alpha[i] = len(al.findall(t))
+        n_chars[i] = len(t)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        alpha_frac = np.where(n_chars > 0, n_alpha / n_chars, 0.0)
+    return n_words, alpha_frac
+
+
+def doc_quality_filter_apply(sf_dir: str, min_words: int = 5,
+                             min_alpha_frac: float = 0.5) -> rd.Dataset:
     docs = table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def gate(b: pa.Table) -> pa.Table:
-        texts = b["text"].to_pylist()
-        ws = re.compile(r"\S+")
-        al = re.compile(r"[A-Za-z]")
-        n = len(texts)
-        n_words = np.zeros(n, np.int64)
-        n_alpha = np.zeros(n, np.int64)
-        n_chars = np.zeros(n, np.int64)
-        for i, t in enumerate(texts):
-            t = t or ""
-            n_words[i] = len(ws.findall(t))
-            n_alpha[i] = len(al.findall(t))
-            n_chars[i] = len(t)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            alpha_frac = np.where(n_chars > 0, n_alpha / n_chars, 0.0)
+        n_words, alpha_frac = quality_stats(b["text"].to_pylist())
         keep = (n_words >= min_words) & (alpha_frac >= min_alpha_frac)
         return pa.Table.from_pydict({
             "doc_id": b["doc_id"].filter(pa.array(keep)),
@@ -487,14 +495,11 @@ WHERE length(text) > 0
 # across engines; ties break on the term.
 
 
-def doc_tfidf_topk(sf_dir: str, k: int = 5) -> rd.Dataset:
+def _tf_rows_fn():
+    """Per-batch (doc_id, term, tf) tokenizer — THE term definition
+    ([a-z]+ on lowercased text) shared by every term-keyed score so
+    they can never disagree on what a term is."""
     import re
-
-    from tag_ray.functions.grouping import (coarse_bucket_apply,
-                                            grouped_aggregate)
-
-    docs = table(sf_dir, "documents", columns=["doc_id", "text"])
-    n_docs = float(docs.count())  # metadata-only count
 
     word_rx = re.compile(r"[a-z]+")
 
@@ -511,35 +516,56 @@ def doc_tfidf_topk(sf_dir: str, k: int = 5) -> rd.Dataset:
             "term": pa.array(terms, pa.string()),
             "tf": pa.array(tfs, pa.int64())})
 
-    # (doc, term) rows are consumed twice (df aggregate + join-back);
-    # materialize the compacted term-typed rows once instead of
-    # re-tokenizing the corpus
-    tf = docs.map_batches(tf_rows, batch_format="pyarrow").materialize()
-    df = grouped_aggregate(tf, ["term"], {"df": (None, "count")})
+    return tf_rows
+
+
+def _attach_term_stat(tf: rd.Dataset, stat: rd.Dataset,
+                      stat_col: str) -> rd.Dataset:
+    """Join a per-term statistic back onto (doc_id, term, tf) rows via
+    ONE coarse-bucket co-location: stat rows ride the same exchange
+    tagged with the sentinel doc_id = -1, and each bucket resolves the
+    lookup with a C-level reindex. Shared by TF-IDF and the corpus-
+    frequency score (the tagged-union pattern was duplicated line for
+    line before)."""
+    from tag_ray.functions.grouping import coarse_bucket_apply
 
     tagged_tf = tf.map_batches(
-        lambda b: b.append_column("df", pa.array(
+        lambda b: b.append_column(stat_col, pa.array(
             np.zeros(b.num_rows, np.int64))),
         batch_format="pyarrow")
-    tagged_df = df.map_batches(
+    tagged_stat = stat.map_batches(
         lambda b: pa.Table.from_pydict({
             "doc_id": pa.array(np.full(b.num_rows, -1, np.int64)),
             "term": b["term"],
             "tf": pa.array(np.zeros(b.num_rows, np.int64)),
-            "df": b["df"].cast(pa.int64())}),
+            stat_col: b[stat_col].cast(pa.int64())}),
         batch_format="pyarrow")
 
-    def attach_df(g: pd.DataFrame) -> pd.DataFrame:
-        dfs = g[g["doc_id"] < 0].set_index("term")["df"]
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        stats = g[g["doc_id"] < 0].set_index("term")[stat_col]
         rows = g[g["doc_id"] >= 0]
         return pd.DataFrame({
             "doc_id": rows["doc_id"].to_numpy(),
             "term": rows["term"].to_numpy(),
             "tf": rows["tf"].to_numpy(),
-            "df": dfs.reindex(rows["term"]).to_numpy(dtype=np.int64)})
+            stat_col: stats.reindex(rows["term"]).to_numpy(dtype=np.int64)})
 
-    scored = coarse_bucket_apply(tagged_tf.union(tagged_df), ["term"],
-                                 attach_df)
+    return coarse_bucket_apply(tagged_tf.union(tagged_stat), ["term"],
+                               attach)
+
+
+def doc_tfidf_topk(sf_dir: str, k: int = 5) -> rd.Dataset:
+    from tag_ray.functions.grouping import coarse_bucket_apply, grouped_aggregate
+
+    docs = table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = float(docs.count())  # metadata-only count
+
+    # (doc, term) rows are consumed twice (df aggregate + join-back);
+    # materialize the compacted term-typed rows once instead of
+    # re-tokenizing the corpus
+    tf = docs.map_batches(_tf_rows_fn(), batch_format="pyarrow").materialize()
+    df = grouped_aggregate(tf, ["term"], {"df": (None, "count")})
+    scored = _attach_term_stat(tf, df, "df")
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
         tfidf = round_half_away(
@@ -592,50 +618,12 @@ SELECT doc_id, term, tf, tfidf, rk FROM (
 
 
 def doc_mean_term_freq(sf_dir: str) -> rd.Dataset:
-    import re
-
-    from tag_ray.functions.grouping import (coarse_bucket_apply,
-                                            grouped_aggregate)
+    from tag_ray.functions.grouping import coarse_bucket_apply, grouped_aggregate
 
     docs = table(sf_dir, "documents", columns=["doc_id", "text"])
-    word_rx = re.compile(r"[a-z]+")
-
-    def tf_rows(b: pa.Table) -> pa.Table:
-        from collections import Counter
-        ids, terms, tfs = [], [], []
-        for d, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
-            c = Counter(word_rx.findall((t or "").lower()))
-            ids.extend([d] * len(c))
-            terms.extend(c.keys())
-            tfs.extend(c.values())
-        return pa.Table.from_pydict({
-            "doc_id": pa.array(ids, pa.int64()),
-            "term": pa.array(terms, pa.string()),
-            "tf": pa.array(tfs, pa.int64())})
-
-    tf = docs.map_batches(tf_rows, batch_format="pyarrow").materialize()
+    tf = docs.map_batches(_tf_rows_fn(), batch_format="pyarrow").materialize()
     tc = grouped_aggregate(tf, ["term"], {"tc": ("tf", "sum")})
-
-    tagged_tf = tf.map_batches(
-        lambda b: b.append_column("tc", pa.array(
-            np.zeros(b.num_rows, np.int64))), batch_format="pyarrow")
-    tagged_tc = tc.map_batches(
-        lambda b: pa.Table.from_pydict({
-            "doc_id": pa.array(np.full(b.num_rows, -1, np.int64)),
-            "term": b["term"],
-            "tf": pa.array(np.zeros(b.num_rows, np.int64)),
-            "tc": b["tc"].cast(pa.int64())}), batch_format="pyarrow")
-
-    def attach_tc(g: pd.DataFrame) -> pd.DataFrame:
-        tcs = g[g["doc_id"] < 0].set_index("term")["tc"]
-        rows = g[g["doc_id"] >= 0]
-        return pd.DataFrame({
-            "doc_id": rows["doc_id"].to_numpy(),
-            "tf": rows["tf"].to_numpy(),
-            "tc": tcs.reindex(rows["term"]).to_numpy(dtype=np.int64)})
-
-    joined = coarse_bucket_apply(tagged_tf.union(tagged_tc), ["term"],
-                                 attach_tc)
+    joined = _attach_term_stat(tf, tc, "tc")
 
     def per_doc(g: pd.DataFrame) -> pd.DataFrame:
         agg = g.assign(tftc=g["tf"] * g["tc"]).groupby("doc_id", sort=False) \

@@ -218,7 +218,8 @@ def _nd_members_bucket(g: pd.DataFrame, max_hamming: int,
         keep = ~dup
         band_id, band_val, ids, ph, parts = (
             a[keep] for a in (band_id, band_val, ids, ph, parts))
-        new = runs(band_id, band_val)
+        # no runs() recompute: run_pair_indices re-derives run bounds
+        # itself — the second pass was pure wasted work in the hot path
     n = len(ids)
     from tag_ray.functions.grouping import run_pair_indices
 
