@@ -152,6 +152,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rank_in_customer": R.orders_rank_in_customer,
         "party_keys_intersect": R.party_keys_intersect,
         "party_keys_except": R.party_keys_except,
+        "party_keys_union": R.party_keys_union,
+        "orders_above_avg": R.orders_above_avg,
         # --- text analysis (oracle-checked) ---
         "doc_lang_counts": T.doc_lang_counts,
         "doc_token_stats": T.doc_token_stats,
@@ -243,6 +245,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_rank_in_customer": R.RANK_IN_CUSTOMER_SQL,
         "party_keys_intersect": R.INTERSECT_SQL,
         "party_keys_except": R.EXCEPT_SQL,
+        "party_keys_union": R.UNION_SQL,
+        "orders_above_avg": R.ABOVE_AVG_SQL,
         "doc_unique_words": T.UNIQUE_WORDS_SQL,
         "docs_cube": T.DOCS_CUBE_SQL,
         "doc_source_len_quantiles": T.SOURCE_LEN_QUANTILES_SQL,

@@ -1805,9 +1805,14 @@ def _party_key_sets(sf_dir: str, want: str) -> rd.Dataset:
         # dedup the per-key SUM is the OR: 1, 2 or 3 — fully C-level
         d = g.drop_duplicates()
         s = d.groupby("key", sort=True)["side"].sum()
-        target = 3 if want == "intersect" else 1
+        if want == "intersect":
+            keys = s.index[s == 3]
+        elif want == "union":
+            keys = s.index  # any side bit set
+        else:  # except: customer keys with no events
+            keys = s.index[s == 1]
         return pd.DataFrame({
-            "party_key": s.index[s == target].to_numpy().astype("int64")})
+            "party_key": keys.to_numpy().astype("int64")})
 
     return coarse_bucket_apply(cust.union(ev), ["key"], bucket)
 
@@ -1830,4 +1835,62 @@ EXCEPT_SQL = """
 SELECT c_custkey AS party_key FROM customer
 EXCEPT
 SELECT user_id FROM events
+"""
+
+
+def party_keys_union(sf_dir: str) -> rd.Dataset:
+    """Distinct UNION of the two key sets (ANSI UNION = union+dedup) —
+    same tagged coarse-bucket machinery, keep keys with any side bit."""
+    return _party_key_sets(sf_dir, "union")
+
+
+UNION_SQL = """
+SELECT c_custkey AS party_key FROM customer
+UNION
+SELECT user_id FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# Scalar-subquery filter: orders priced above the table average. The
+# average never materializes as a float — the predicate is the integer
+# cross-multiplication price_cents * n > sum_cents (mirrored verbatim
+# in the SQL), so the boundary rows are bit-exactly the oracle's at any
+# scale. One tiny aggregate pass, broadcast of two ints, one filter
+# pass; the canonical two-pass scalar-subquery shape.
+
+
+def orders_above_avg(sf_dir: str) -> rd.Dataset:
+    od = table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def cents_partial(b: pa.Table) -> pa.Table:
+        c = _cents(b["o_totalprice"].to_numpy(zero_copy_only=False))
+        return pa.Table.from_pydict({
+            "s": pa.array([int(c.sum())]), "n": pa.array([len(c)])})
+
+    parts = od.map_batches(cents_partial, batch_format="pyarrow").to_pandas()
+    total_s = sum(int(x) for x in parts["s"])  # Python ints: no overflow
+    total_n = int(parts["n"].sum())
+    # c*n > s  ⇔  c ≥ floor(s/n)+1 for integer c — one exact int
+    # threshold instead of a per-row cross-multiply (which would
+    # overflow int64 at cents×10^12-row scale)
+    thr = total_s // total_n + 1
+
+    def above(b: pa.Table) -> pa.Table:
+        c = _cents(b["o_totalprice"].to_numpy(zero_copy_only=False))
+        keep = c >= thr
+        return pa.Table.from_pydict({
+            "o_orderkey": b["o_orderkey"].filter(pa.array(keep)),
+            "total": pa.array(c[keep] / 100.0)})
+
+    return od.map_batches(above, batch_format="pyarrow")
+
+
+ABOVE_AVG_SQL = """
+SELECT o_orderkey,
+       CAST(round(o_totalprice*100) AS BIGINT)/100.0 AS total
+FROM orders
+WHERE CAST(round(o_totalprice*100) AS BIGINT)
+      * (SELECT COUNT(*) FROM orders)
+      > (SELECT SUM(CAST(round(o_totalprice*100) AS BIGINT)) FROM orders)
 """
