@@ -341,8 +341,13 @@ def top_customers(sf_dir: str) -> pd.DataFrame:
     top = spend.sort(["tp_c", "o_custkey"], descending=[True, False]).limit(10).to_pandas()
     import pyarrow.parquet as pq
     from tag_ray.sources import table_path
+    # label only the k winners: push the key set into the read as a
+    # row-group/page filter — the full name column never leaves storage
+    # (a 10^9-customer dimension stays out of the driver)
+    top_keys = [int(k) for k in top["o_custkey"]]
     names = pq.read_table(table_path(sf_dir, "customer"),
-                          columns=["c_custkey", "c_name"]).to_pandas()
+                          columns=["c_custkey", "c_name"],
+                          filters=[("c_custkey", "in", top_keys)]).to_pandas()
     out = top.merge(names, left_on="o_custkey", right_on="c_custkey")
     return pd.DataFrame({"c_name": out["c_name"],
                          "total_spend": out["tp_c"] / 100.0,
