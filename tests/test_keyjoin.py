@@ -1,0 +1,68 @@
+"""Byte-gated semi/anti key join: both paths must agree exactly.
+
+The broadcast path (ray.put + pc.is_in) is the measured-fast small-side
+regime; the distributed path (distinct-key Dataset + left-outer hash
+join) is what a 10^12-row dimension requires. Equality between them —
+and against plain pandas set semantics — is the correctness contract
+(VERDICT r2 next-round items #2/#3)."""
+
+import numpy as np
+import pandas as pd
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_filter_by_key_set_paths_match_and_exact(ray_session):
+    import pyarrow as pa
+
+    import ray.data as rd
+    from tag_ray.functions import keyjoin
+
+    rng = np.random.default_rng(7)
+    k = rng.integers(0, 200, 5_000).astype(np.int64)
+    facts = rd.from_arrow(pa.table({"k": k, "v": np.arange(5_000)}))
+    kk = rng.integers(0, 200, 80).astype(np.int64)
+    keys = rd.from_arrow(pa.table({"kk": kk}))
+    kset = set(kk.tolist())
+
+    for anti in (False, True):
+        bc = _sorted(keyjoin.filter_by_key_set(
+            facts, "k", keys, "kk", anti=anti).to_pandas())
+        dist = _sorted(keyjoin.filter_by_key_set(
+            facts, "k", keys, "kk", anti=anti,
+            broadcast_limit=0).to_pandas())
+        pd.testing.assert_frame_equal(bc, dist)
+        mask = ~np.isin(k, list(kset)) if anti else np.isin(k, list(kset))
+        expect = _sorted(pd.DataFrame({"k": k[mask],
+                                       "v": np.arange(5_000)[mask]}))
+        pd.testing.assert_frame_equal(bc, expect)
+
+
+def test_referential_queries_distributed_path(ray_session, monkeypatch):
+    """Force the large-key-set regime (gate=0) for the two referential
+    checks and the near-dup dedup apply; outputs must equal the
+    broadcast regime's exactly."""
+    from tag_ray.functions import keyjoin
+    from tag_ray.pipelines import dedup as D
+    from tag_ray.pipelines import relational as R
+
+    small = {
+        "ref_orphan": R.ref_orphan_orders(SF_DIR),
+        "semi": _sorted(R.cust_with_open_orders(SF_DIR).to_pandas()),
+        "apply": _sorted(D.doc_minhash_dedup_apply(SF_DIR).to_pandas()),
+    }
+    monkeypatch.setattr(keyjoin, "BROADCAST_KEY_LIMIT", 0)
+    large = {
+        "ref_orphan": R.ref_orphan_orders(SF_DIR),
+        "semi": _sorted(R.cust_with_open_orders(SF_DIR).to_pandas()),
+        "apply": _sorted(D.doc_minhash_dedup_apply(SF_DIR).to_pandas()),
+    }
+    pd.testing.assert_frame_equal(_sorted(small["ref_orphan"]),
+                                  _sorted(large["ref_orphan"]))
+    pd.testing.assert_frame_equal(small["semi"], large["semi"])
+    pd.testing.assert_frame_equal(small["apply"], large["apply"])
+    assert len(small["semi"]) > 0 and len(small["apply"]) > 0
