@@ -31,6 +31,28 @@ def test_global_rank_exact_with_ties(ray_session):
     assert (np.sort(out["rank"].to_numpy()) == np.arange(n)).all()
 
 
+def test_global_rank_exact_under_sample_cap(ray_session, monkeypatch):
+    """Force the doubling-decimation path (driver sample cap smaller
+    than the per-block sample volume): ranks must stay exact — the cap
+    only moves bucket boundaries, never correctness."""
+    from tag_ray.functions import ranking
+
+    monkeypatch.setattr(ranking, "_MAX_SAMPLE", 8)
+    rng = np.random.default_rng(11)
+    n = 4_000
+    key = rng.integers(0, 25, n).astype(np.int64)
+    tie = rng.permutation(n).astype(np.int64)
+    ds = rd.from_pandas(pd.DataFrame({"k": key, "id": tie})).repartition(8)
+    ranked, total = global_rank(ds, "k", "id", num_buckets=16)
+    out = ranked.to_pandas()
+    assert total == n
+    expect = np.empty(n, dtype=np.int64)
+    expect[np.lexsort((tie, key))] = np.arange(n)
+    want = pd.DataFrame({"id": tie, "e": expect}).sort_values("id")["e"].to_numpy()
+    got = out.sort_values("id")["rank"].to_numpy()
+    assert (got == want).all()
+
+
 def test_global_rank_single_hot_key(ray_session):
     # one value dominates: every row must still get a distinct exact rank
     n = 2_000
