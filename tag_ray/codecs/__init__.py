@@ -81,19 +81,25 @@ def split_trailer(data: bytes | None) -> tuple[bytes | None, bytes | None]:
     return data, None
 
 
-def identify(data: bytes | None) -> str | None:
+def identify(data: bytes | None, probe_eof: bool = False) -> str | None:
     """Magic-byte classification only (no parse) — tag.Identify (id.go:9-81).
 
-    Like the reference's EOF-128 ID3v1 probe, a trailing annotation
-    block does not change the detected format: the trailer sits at EOF,
-    so the payload's prefix IS the data's prefix and one prefix scan
-    covers both (a trailer-stripped re-probe would re-read the same
-    bytes — removed as dead code)."""
+    A trailing annotation block does not change a RECOGNIZED format:
+    the trailer sits at EOF, so the payload's prefix IS the data's
+    prefix and one prefix scan covers both. ``probe_eof=True`` adds the
+    reference's second probe (id.go:60-81 checks "TAG" at EOF-128 when
+    the prefix matches nothing): a cell whose prefix is unrecognized
+    but which ends in a valid 128-byte ``TAGR`` trailer classifies as
+    ``"tagr"`` — annotation-only, payload format unknown — instead of
+    None. Off by default so format checks keep treating such cells as
+    unidentified payloads."""
     if not data:
         return None
     for magic, fmt in MAGIC_TABLE:
         if data[: len(magic)] == magic:
             return fmt
+    if probe_eof and split_trailer(data)[1] is not None:
+        return "tagr"
     return None
 
 

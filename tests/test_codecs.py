@@ -170,3 +170,25 @@ def test_trailer_metadata_invariance():
     })
     out = validate_batch(batch)
     assert out.num_rows == 0, out.to_pydict()
+
+
+def test_identify_eof_probe():
+    """M2 parity: the reference's Identify falls back to an EOF-128
+    probe when no prefix matches (id.go:60-81). With probe_eof=True an
+    unrecognized payload carrying a valid TAGR trailer classifies as
+    'tagr'; the default prefix-only behavior is unchanged."""
+    from tag_ray import codecs
+
+    junk = b"\xde\xad\xbe\xef" * 8
+    trailer = codecs.TRAILER_MAGIC \
+        + b"\x00" * (codecs.TRAILER_LEN - len(codecs.TRAILER_MAGIC))
+    tagged = junk + trailer
+
+    assert codecs.identify(tagged) is None              # default: prefix only
+    assert codecs.identify(tagged, probe_eof=True) == "tagr"
+    assert codecs.identify(junk, probe_eof=True) is None  # no trailer
+    # recognized prefixes always win over the trailer probe
+    png = codecs.encode("png", np.zeros((4, 4, 3), np.uint8))
+    assert codecs.identify(png + trailer, probe_eof=True) == "png"
+    # a pure 128-byte trailer is NOT an annotated payload (empty payload)
+    assert codecs.identify(trailer, probe_eof=True) is None

@@ -1,0 +1,67 @@
+"""Contract tests for the storage-dispatch seam (SURVEY.md §2.1 S1).
+
+No lance wheel ships offline, so the production `.lance` path is pinned
+with a stubbed ``ray.data.read_lance`` / ``Dataset.write_lance``: the
+dispatcher must (a) route ``.lance`` URIs to the lance reader with
+columns forwarded verbatim, (b) route everything else to parquet, and
+(c) surface a clear RuntimeError when the wheel is absent — so swapping
+the backend in prod cannot silently change pipeline semantics."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+
+def test_read_table_dispatches_lance(ray_session, monkeypatch):
+    calls = {}
+    sentinel = rd.from_arrow(pa.table({"image_id": ["a"], "w": [4]}))
+
+    def fake_read_lance(uri, columns=None, **kw):
+        calls["uri"], calls["columns"] = uri, columns
+        return sentinel
+
+    monkeypatch.setattr(rd, "read_lance", fake_read_lance, raising=False)
+    from tag_ray import sources
+
+    out = sources.read_table("/data/images.lance", columns=["image_id", "w"])
+    assert out is sentinel
+    assert calls == {"uri": "/data/images.lance",
+                     "columns": ["image_id", "w"]}
+
+
+def test_read_table_lance_missing_is_clear(ray_session, monkeypatch):
+    def raising_read_lance(uri, columns=None, **kw):
+        raise ImportError("no module named 'lance'")
+
+    monkeypatch.setattr(rd, "read_lance", raising_read_lance, raising=False)
+    from tag_ray import sources
+
+    with pytest.raises(RuntimeError, match="lance"):
+        sources.read_table("/data/images.lance")
+
+
+def test_read_table_parquet_fallthrough(ray_session, tmp_path):
+    from tag_ray import sources
+
+    p = tmp_path / "t.parquet"
+    pq.write_table(pa.table({"x": [1, 2, 3], "y": [4, 5, 6]}), str(p))
+    ds = sources.read_table(str(p), columns=["x"])
+    got = ds.to_pandas()
+    assert list(got.columns) == ["x"] and len(got) == 3
+
+
+def test_write_table_dispatches_lance(ray_session, monkeypatch):
+    ds = rd.from_arrow(pa.table({"x": [1]}))
+    calls = {}
+
+    def fake_write_lance(self, uri, **kw):
+        calls["uri"] = uri
+
+    monkeypatch.setattr(type(ds), "write_lance", fake_write_lance,
+                        raising=False)
+    from tag_ray import sources
+
+    sources.write_table(ds, "/out/violations.lance")
+    assert calls == {"uri": "/out/violations.lance"}
