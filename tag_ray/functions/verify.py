@@ -10,9 +10,10 @@ Missing #1/#2); this module replaces them.
 
 Pattern (all stages are Datasets until the final thresholded pairs):
 
-  1. the DISTINCT candidate-id set is the small side → broadcast it
-     (ray.put) and semi-join the base table down to candidate rows
-     with one ``pc.is_in`` kernel per batch
+  1. semi-join the base table down to candidate rows via the byte-gated
+     key join (functions/keyjoin.py): the distinct candidate-id set
+     broadcasts (ray.put + one ``pc.is_in`` kernel per batch) when it
+     is genuinely small and hash-joins distributively when it is not
   2. recompute the per-row feature (shingle set / normalized vector)
      in an actor pool, encoded as a fixed binary blob — pyarrow's hash
      join carries binary payloads but not list columns
@@ -39,35 +40,31 @@ from tag_ray.config import join_num_partitions
 from tag_ray.functions.rounding import round_half_away
 
 
-def candidate_id_array(cand: rd.Dataset, a: str, b: str) -> pa.Array:
-    """Distinct int64 ids over both pair columns (the broadcast side).
+def candidate_ids_ds(cand: rd.Dataset, a: str, b: str) -> rd.Dataset:
+    """Per-block-distinct int64 ids over both pair columns, as a DATASET
+    — the semi-join key side. Global distinctness is unnecessary: the
+    consumer (keyjoin.filter_by_key_set) has set semantics on both its
+    paths, so per-block dedup just shrinks the exchange."""
 
-    Streams only the two id columns of the (small, materialized)
-    candidate pair set; the iterator is consumed fully."""
-    parts = []
-    for t in cand.select_columns([a, b]).iter_batches(
-            batch_format="pyarrow", batch_size=None):
-        parts.append(np.unique(np.r_[
+    def ids(t: pa.Table) -> pa.Table:
+        u = np.unique(np.r_[
             t[a].to_numpy(zero_copy_only=False).astype(np.int64),
-            t[b].to_numpy(zero_copy_only=False).astype(np.int64)]))
-    if not parts:
-        return pa.array([], pa.int64())
-    return pa.array(np.unique(np.concatenate(parts)), pa.int64())
+            t[b].to_numpy(zero_copy_only=False).astype(np.int64)])
+        return pa.Table.from_pydict({"_vid": pa.array(u, pa.int64())})
+
+    return cand.select_columns([a, b]).map_batches(
+        ids, batch_format="pyarrow")
 
 
-def _feature_rows_fn(handle, feature_fn: Callable, id_col: str,
-                     payload_col: str):
-    """Task fn: semi-join base rows to the candidate set, emit (id, blob).
+def _feature_blob_fn(feature_fn: Callable, id_col: str, payload_col: str):
+    """Task fn: (id, payload) rows → (id, feature blob) rows.
 
-    Plain tasks, not an actor pool: the per-batch ``ray.get`` of the
-    broadcast id array is a zero-copy plasma read, while an actor pool
-    pays ~2 s of spin-up per verification — a fixed cost that dwarfs
-    small candidate sets (there is no per-actor init worth amortizing
-    here)."""
+    Plain tasks, not an actor pool: feature fns here are cheap closures,
+    while an actor pool pays ~2 s of spin-up per verification — a fixed
+    cost that dwarfs small candidate sets (there is no per-actor init
+    worth amortizing)."""
 
     def fn(b: pa.Table) -> pa.Table:
-        keys = ray.get(handle)
-        b = b.filter(pc.is_in(b[id_col], value_set=keys))
         blobs = [feature_fn(v).tobytes() for v in b[payload_col].to_pylist()]
         return pa.Table.from_pydict({
             "_vid": b[id_col].cast(pa.int64()),
@@ -118,11 +115,20 @@ def _attach_broadcast_fn(handle, a: str, b: str):
 def _join_features(cand: rd.Dataset, base: rd.Dataset, a: str, b: str,
                    feature_fn: Callable, id_col: str,
                    payload_col: str) -> rd.Dataset:
-    """cand(a, b) ⋈ features on both sides → (a, b, feat_a, feat)."""
-    ids = candidate_id_array(cand, a, b)
-    handle = ray.put(ids)
-    feats = base.map_batches(
-        _feature_rows_fn(handle, feature_fn, id_col, payload_col),
+    """cand(a, b) ⋈ features on both sides → (a, b, feat_a, feat).
+
+    The base→candidate semi-join is byte-gated through
+    keyjoin.filter_by_key_set (est_rows = 2×pairs): candidate id sets
+    small enough to broadcast go through one ``pc.is_in`` per batch
+    exactly as before; at web-corpus dup rates the id set is O(corpus)
+    and routes to the distributed hash semi-join instead of the driver."""
+    from tag_ray.functions.keyjoin import filter_by_key_set
+
+    n_pairs = cand.count()
+    sem = filter_by_key_set(base, id_col, candidate_ids_ds(cand, a, b),
+                            "_vid", est_rows=2 * n_pairs)
+    feats = sem.map_batches(
+        _feature_blob_fn(feature_fn, id_col, payload_col),
         batch_format="pyarrow").materialize()
     # broadcast only when the FEATURE BYTES are small, not just the id
     # count — long documents make 100k shingle blobs multi-GB, and the
@@ -130,7 +136,7 @@ def _join_features(cand: rd.Dataset, base: rd.Dataset, a: str, b: str,
     # driver (CLAUDE.md invariant); the bytes gate keeps the fast path
     # for the common tiny candidate sets and routes heavy ones to the
     # distributed join below
-    if (len(ids) <= _BROADCAST_FEAT_LIMIT
+    if (feats.count() <= _BROADCAST_FEAT_LIMIT
             and (feats.size_bytes() or 0) <= _BROADCAST_FEAT_BYTES):
         parts = [t for t in feats.iter_batches(batch_format="pyarrow",
                                                batch_size=None)]
