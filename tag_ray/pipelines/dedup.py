@@ -19,6 +19,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
@@ -798,10 +799,15 @@ def emb_lsh_near_pairs(sf_dir: str, threshold: float = 0.45,
 # near-dup clusters: transitive closure of the verified pair relation
 
 
-def doc_near_dup_clusters(sf_dir: str, jaccard_threshold: float = 0.5) -> pd.DataFrame:
-    """(doc_id, cluster_id, keep): connected components over the verified
-    MinHash near-dup pairs; ``keep`` marks the cluster's minimum doc_id —
-    the "first of each duplicate group" a dedup pipeline retains."""
+def doc_near_dup_clusters(sf_dir: str,
+                          jaccard_threshold: float = 0.5) -> rd.Dataset:
+    """(doc_id, cluster_id, keep) DATASET: connected components over the
+    verified MinHash near-dup pairs; ``keep`` marks the cluster's
+    minimum doc_id — the "first of each duplicate group" a dedup
+    pipeline retains. Stays distributed end-to-end: the cluster table is
+    O(near-dup docs) = O(corpus) at web dup rates, so the operator never
+    collects it (consumers stream or anti-join it; the r3 dedup apply
+    does the latter through the byte-gated key join)."""
     import ray.data as rd
 
     from tag_ray.functions.components import connected_components
@@ -813,15 +819,21 @@ def doc_near_dup_clusters(sf_dir: str, jaccard_threshold: float = 0.5) -> pd.Dat
     cand = doc_minhash_candidates(docs)
     pairs_ds = _verified_jaccard_pairs_ds(docs, cand, jaccard_threshold, 3)
     if pairs_ds is None:
-        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                             "cluster_id": pd.Series([], dtype="int64"),
-                             "keep": pd.Series([], dtype="bool")})
+        return rd.from_arrow(pa.Table.from_pydict({
+            "doc_id": pa.array([], pa.int64()),
+            "cluster_id": pa.array([], pa.int64()),
+            "keep": pa.array([], pa.bool_())}))
     edges = pairs_ds.select_columns(["doc_id_a", "doc_id_b"])
-    comp = connected_components(edges, "doc_id_a", "doc_id_b").to_pandas()
-    comp = comp.rename(columns={"node": "doc_id", "component": "cluster_id"})
-    comp["keep"] = comp["doc_id"] == comp["cluster_id"]
-    return comp.sort_values("doc_id").reset_index(drop=True) \
-        .astype({"doc_id": "int64", "cluster_id": "int64"})
+    comp = connected_components(edges, "doc_id_a", "doc_id_b")
+
+    def finish(t: pa.Table) -> pa.Table:
+        node = t["node"].cast(pa.int64())
+        root = t["component"].cast(pa.int64())
+        return pa.Table.from_pydict({
+            "doc_id": node, "cluster_id": root,
+            "keep": pc.equal(node, root)})
+
+    return comp.map_batches(finish, batch_format="pyarrow").sort("doc_id")
 
 
 def doc_minhash_dedup_apply(sf_dir: str,

@@ -50,7 +50,7 @@ def test_components_match_union_find(ray_session):
 def test_clusters_query_small(ray_session):
     from tag_ray.pipelines.dedup import doc_near_dup_clusters
 
-    df = doc_near_dup_clusters("/root/testdata/sf0.001")
+    df = doc_near_dup_clusters("/root/testdata/sf0.001").to_pandas()
     # keep-flag marks exactly one representative per cluster
     assert (df.groupby("cluster_id")["keep"].sum() == 1).all()
     assert (df[df["keep"]]["doc_id"] == df[df["keep"]]["cluster_id"]).all()

@@ -41,7 +41,7 @@ def test_minhash_dedup_apply_consistent(ray_session):
                                          doc_near_dup_clusters)
     from tag_ray.sources import table
 
-    comp = doc_near_dup_clusters(SF_DIR)
+    comp = doc_near_dup_clusters(SF_DIR).to_pandas()
     dropped = set(comp.loc[~comp["keep"], "doc_id"])
     kept = doc_minhash_dedup_apply(SF_DIR).to_pandas()
     n_docs = table(SF_DIR, "documents", columns=["doc_id"]).count()
