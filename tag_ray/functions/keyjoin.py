@@ -46,7 +46,7 @@ def collect_distinct_keys(keys_ds: rd.Dataset, key_col: str) -> pa.Array:
     chunks: list[pa.Array] = []
     for t in keys_ds.select_columns([key_col]).iter_batches(
             batch_format="pyarrow", batch_size=None):
-        chunks.append(pc.unique(t[key_col].combine_chunks()))
+        chunks.append(pc.unique(pc.drop_null(t[key_col].combine_chunks())))
     if not chunks:
         return pa.array([], pa.int64())
     return pc.unique(pa.concat_arrays(chunks))
@@ -73,7 +73,8 @@ def _distributed_filter(ds: rd.Dataset, col: str, keys_ds: rd.Dataset,
     # no fact column can collide
     distinct = grouped_aggregate(
         keys_ds.map_batches(
-            lambda b: pa.Table.from_pydict({_KEY: b[key_col]}),
+            lambda b: pa.Table.from_pydict(
+                {_KEY: pc.drop_null(b[key_col].combine_chunks())}),
             batch_format="pyarrow"),
         [_KEY], {_PRESENT: (None, "count")})
     marked = distinct.map_batches(
@@ -88,8 +89,12 @@ def _distributed_filter(ds: rd.Dataset, col: str, keys_ds: rd.Dataset,
                      on=(col,), right_on=(_KEY,))
 
     def pick(b: pa.Table) -> pa.Table:
-        valid = pc.is_valid(b[_PRESENT])
-        return b.filter(pc.invert(valid) if anti else valid) \
+        # NULL fact keys match nothing on either path (pc.is_in(null)
+        # is false; an outer join key of null joins nothing): semi
+        # drops them, anti KEEPS them — a null foreign key IS an
+        # orphan. Deliberately not ANSI NOT-IN's null-propagation.
+        present = pc.is_valid(b[_PRESENT])
+        return b.filter(pc.invert(present) if anti else present) \
             .select(out_cols)
 
     return joined.map_batches(pick, batch_format="pyarrow")
@@ -103,9 +108,15 @@ def filter_by_key_set(ds: rd.Dataset, col: str, keys_ds: rd.Dataset,
     ``keys_ds[key_col]``.
 
     ``keys_ds`` should be projected to (at least) the key column;
-    multiplicity is ignored (set semantics). ``est_rows`` is a cheap
-    UPPER BOUND on the key-side row count (parquet metadata) used for
-    the gate — absent, a metadata ``count()`` of ``keys_ds`` decides.
+    multiplicity is ignored (set semantics). Null handling, identical
+    on both paths and pinned by tests: null KEY-SIDE rows are ignored
+    (a referential check's key set is the non-null id universe — the
+    ANSI "NOT IN with a NULL never matches" footgun is deliberately
+    not reproduced), and a null FACT key matches nothing — semi drops
+    it, anti reports it (a null foreign key IS an orphan). ``est_rows``
+    is a cheap UPPER BOUND on the key-side row count (parquet
+    metadata) used for the gate — absent, a metadata ``count()`` of
+    ``keys_ds`` decides.
     """
     limit = BROADCAST_KEY_LIMIT if broadcast_limit is None else broadcast_limit
     n = est_rows if est_rows is not None else keys_ds.count()

@@ -42,6 +42,32 @@ def test_filter_by_key_set_paths_match_and_exact(ray_session):
         pd.testing.assert_frame_equal(bc, expect)
 
 
+def test_filter_by_key_set_nulls_and_strings(ray_session):
+    """NULL fact keys follow SQL NOT-IN semantics (dropped) on BOTH
+    paths, and string keys work end-to-end."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from tag_ray.functions import keyjoin
+
+    facts = rd.from_arrow(pa.table({
+        "k": pa.array(["a", None, "b", "c", None, "a"]),
+        "v": list(range(6))}))
+    keys = rd.from_arrow(pa.table({"kk": pa.array(["a", "x", None])}))
+    for anti in (False, True):
+        bc = _sorted(keyjoin.filter_by_key_set(
+            facts, "k", keys, "kk", anti=anti).to_pandas())
+        dist = _sorted(keyjoin.filter_by_key_set(
+            facts, "k", keys, "kk", anti=anti,
+            broadcast_limit=0).to_pandas())
+        pd.testing.assert_frame_equal(bc, dist)
+        # null fact keys match nothing: semi drops them, anti reports
+        # them (a null foreign key IS an orphan); null key-side rows
+        # are ignored
+        want_v = [0, 5] if not anti else [1, 2, 3, 4]
+        assert sorted(bc["v"]) == want_v, (anti, bc)
+
+
 def test_referential_queries_distributed_path(ray_session, monkeypatch):
     """Force the large-key-set regime (gate=0) for the two referential
     checks and the near-dup dedup apply; outputs must equal the
