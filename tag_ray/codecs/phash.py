@@ -16,6 +16,7 @@ _dk = np.arange(_N, dtype=np.float64)
 _DCT32 = np.cos(np.pi * (2 * _dk[None, :] + 1) * _dk[:, None] / (2 * _N)) * np.sqrt(2.0 / _N)
 _DCT32[0] /= np.sqrt(2.0)
 _BITS = (np.uint64(1) << np.arange(64, dtype=np.uint64)).astype(np.uint64)
+_LUMA = np.array([0.299, 0.587, 0.114])  # hoisted: was an alloc per call
 
 
 def _resize_area(gray: np.ndarray, n: int = _N) -> np.ndarray:
@@ -30,15 +31,18 @@ def _resize_area(gray: np.ndarray, n: int = _N) -> np.ndarray:
     np.cumsum(np.cumsum(gray, axis=0), axis=1, out=ii[1:, 1:])
     ye = (np.arange(n + 1, dtype=np.int64) * h) // n  # strictly increasing: h >= n
     xe = (np.arange(n + 1, dtype=np.int64) * w) // n
-    sums = ii[ye[1:, None], xe[None, 1:]] - ii[ye[:-1, None], xe[None, 1:]] \
-        - ii[ye[1:, None], xe[None, :-1]] + ii[ye[:-1, None], xe[None, :-1]]
+    # one (n+1, n+1) corner gather + slices instead of four full fancy
+    # gathers — same elements, same ((a-b)-c)+d evaluation order, so
+    # results stay BIT-identical (stored fixture phashes pin this)
+    sub = ii[ye[:, None], xe[None, :]]
+    sums = sub[1:, 1:] - sub[:-1, 1:] - sub[1:, :-1] + sub[:-1, :-1]
     areas = (ye[1:, None] - ye[:-1, None]) * (xe[None, 1:] - xe[None, :-1])
     return sums / areas
 
 
 def phash64(pixels: np.ndarray) -> int:
     """(h, w, 3) uint8 → signed 64-bit perceptual hash (storable as int64)."""
-    gray = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    gray = pixels.astype(np.float64) @ _LUMA
     small = _resize_area(gray)
     freq = _DCT32 @ small @ _DCT32.T
     block = freq[:8, :8].ravel()
