@@ -48,12 +48,16 @@ def keycol_num_blocks() -> int:
 def read_images(path: str, columns: list[str] | None = None,
                 partitions: list[int] | None = None,
                 num_blocks: int | None = None) -> rd.Dataset:
-    """Parquet in-sandbox; the prod path is ``ray.data.read_lance`` behind
-    the same call (SURVEY.md §2.1 S1 — no lance wheel offline).
+    """Storage-dispatched read (sources.read_table): Parquet in-sandbox,
+    ``ray.data.read_lance`` for ``.lance`` URIs in prod behind the SAME
+    call (SURVEY.md §2.1 S1 — no lance wheel offline; the dispatch seam
+    is contract-tested in tests/test_lance_seam.py).
 
     ``partitions`` prunes at the read via predicate pushdown — the
     resume path (tag_ray.job) never re-scans completed partitions."""
     import pyarrow.compute as pc
+
+    from tag_ray.sources import read_table
 
     filt = None
     if partitions is not None:
@@ -61,7 +65,7 @@ def read_images(path: str, columns: list[str] | None = None,
     kwargs = {}
     if num_blocks is not None:
         kwargs["override_num_blocks"] = num_blocks
-    return rd.read_parquet(path, columns=columns, filter=filt, **kwargs)
+    return read_table(path, columns=columns, filter=filt, **kwargs)
 
 
 def load_ref_table(path: str) -> pa.Table:

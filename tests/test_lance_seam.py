@@ -52,6 +52,28 @@ def test_read_table_parquet_fallthrough(ray_session, tmp_path):
     assert list(got.columns) == ["x"] and len(got) == 3
 
 
+def test_flagship_read_images_dispatches_lance(ray_session, monkeypatch):
+    """The FLAGSHIP's reader goes through the same dispatch seam —
+    pointing the validation sweep at a .lance table must reach
+    read_lance with columns and the partition filter forwarded."""
+    calls = {}
+    sentinel = rd.from_arrow(pa.table({"image_id": ["a"]}))
+
+    def fake_read_lance(uri, columns=None, **kw):
+        calls["uri"], calls["columns"] = uri, columns
+        calls["has_filter"] = kw.get("filter") is not None
+        return sentinel
+
+    monkeypatch.setattr(rd, "read_lance", fake_read_lance, raising=False)
+    from tag_ray.pipelines import validate as V
+
+    out = V.read_images("/data/corpus.lance", columns=["image_id"],
+                        partitions=[0, 1])
+    assert out is sentinel
+    assert calls == {"uri": "/data/corpus.lance",
+                     "columns": ["image_id"], "has_filter": True}
+
+
 def test_write_table_dispatches_lance(ray_session, monkeypatch):
     ds = rd.from_arrow(pa.table({"x": [1]}))
     calls = {}
