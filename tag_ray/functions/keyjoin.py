@@ -84,6 +84,19 @@ def _distributed_filter(ds: rd.Dataset, col: str, keys_ds: rd.Dataset,
         batch_format="pyarrow")
 
     out_cols = ds.columns()
+    if _KEY in out_cols or _PRESENT in out_cols:
+        raise ValueError(
+            f"fact table uses reserved keyjoin columns: {out_cols}")
+    # materialize once: the count below and the join both consume it
+    marked = marked.materialize()
+    # a 0-row right side is legal (e.g. a filter that matched nothing):
+    # semi → nothing survives, anti → everything does — short-circuit
+    # instead of handing an empty dataset to the hash join
+    if marked.count() == 0:
+        if anti:
+            return ds
+        return ds.map_batches(lambda b: b.slice(0, 0),
+                              batch_format="pyarrow")
     joined = ds.join(marked, "left_outer",
                      num_partitions=join_num_partitions(),
                      on=(col,), right_on=(_KEY,))

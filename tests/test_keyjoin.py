@@ -68,6 +68,26 @@ def test_filter_by_key_set_nulls_and_strings(ray_session):
         assert sorted(bc["v"]) == want_v, (anti, bc)
 
 
+def test_filter_by_key_set_empty_key_side(ray_session):
+    """A key side that matches nothing (empty after dedup) is legal:
+    semi yields nothing, anti yields everything — on BOTH paths."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from tag_ray.functions import keyjoin
+
+    facts = rd.from_arrow(pa.table({"k": [1, 2, 3], "v": [10, 20, 30]}))
+    keys = rd.from_arrow(pa.table({"kk": pa.array([], pa.int64())}))
+    for limit in (None, 0):
+        semi = keyjoin.filter_by_key_set(
+            facts, "k", keys, "kk", broadcast_limit=limit).to_pandas()
+        anti = keyjoin.filter_by_key_set(
+            facts, "k", keys, "kk", anti=True,
+            broadcast_limit=limit).to_pandas()
+        assert len(semi) == 0, limit
+        assert sorted(anti["v"]) == [10, 20, 30], limit
+
+
 def test_referential_queries_distributed_path(ray_session, monkeypatch):
     """Force the large-key-set regime (gate=0) for the two referential
     checks and the near-dup dedup apply; outputs must equal the
