@@ -67,6 +67,41 @@ def test_grouped_aggregate_matches_native(ray_session):
     pd.testing.assert_frame_equal(key(got), key(ref))
 
 
+def test_run_pair_indices_property():
+    """run_pair_indices (the pair-generation core of every near-dup
+    family) must emit exactly the brute-force within-run (i<j) pairs
+    for ANY sorted key layout, honoring min/max/cap semantics."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tag_ray.functions.grouping import run_pair_indices
+
+    @settings(max_examples=120, deadline=None)
+    @given(keys=st.lists(st.integers(0, 6), min_size=0, max_size=60),
+           max_size=st.one_of(st.none(), st.integers(2, 8)),
+           cap=st.one_of(st.none(), st.integers(2, 6)))
+    def check(keys, max_size, cap):
+        k = np.sort(np.asarray(keys, dtype=np.int64))
+        pi, pj = run_pair_indices([k], max_size=max_size, cap=cap)
+        got = set(zip(pi.tolist(), pj.tolist()))
+        want = set()
+        i = 0
+        while i < len(k):
+            j = i
+            while j < len(k) and k[j] == k[i]:
+                j += 1
+            size = j - i
+            if size >= 2 and (max_size is None or size <= max_size):
+                eff = min(size, cap) if cap is not None else size
+                for a in range(i, i + eff):
+                    for b in range(a + 1, i + eff):
+                        want.add((a, b))
+            i = j
+        assert got == want, (keys, max_size, cap)
+
+    check()
+
+
 def test_min_size_skips_singletons(ray_session):
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g["id"].to_numpy())
