@@ -102,6 +102,34 @@ def test_run_pair_indices_property():
     check()
 
 
+def test_phash_bands_pigeonhole_property():
+    """With d+1 bands, any two hashes within Hamming distance d MUST
+    share at least one band (full recall of the banded candidate
+    generation) — for every band count and flip pattern."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tag_ray.codecs.phash import hamming64, phash_bands
+
+    @settings(max_examples=150, deadline=None)
+    @given(h=st.integers(-(2**63), 2**63 - 1),
+           flips=st.lists(st.integers(0, 63), min_size=0, max_size=5,
+                          unique=True))
+    def check(h, flips):
+        a = np.array([h], dtype=np.int64)
+        u = a.view(np.uint64).copy()
+        for f in flips:
+            u ^= np.uint64(1) << np.uint64(f)
+        b = u.view(np.int64)
+        d = int(hamming64(a, b)[0])
+        assert d == len(flips)
+        bands_a = phash_bands(a, n_bands=d + 1)
+        bands_b = phash_bands(b, n_bands=d + 1)
+        assert (bands_a == bands_b).any(), (hex(h), flips)
+
+    check()
+
+
 def test_min_size_skips_singletons(ray_session):
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g["id"].to_numpy())
