@@ -88,6 +88,20 @@ def test_filter_by_key_set_empty_key_side(ray_session):
         assert sorted(anti["v"]) == [10, 20, 30], limit
 
 
+def test_filter_by_key_set_reserved_columns_rejected(ray_session):
+    import pyarrow as pa
+    import pytest
+
+    import ray.data as rd
+    from tag_ray.functions import keyjoin
+
+    facts = rd.from_arrow(pa.table({"k": [1], "_kj_present": [1]}))
+    keys = rd.from_arrow(pa.table({"kk": [1]}))
+    with pytest.raises(ValueError, match="reserved"):
+        keyjoin.filter_by_key_set(facts, "k", keys, "kk",
+                                  broadcast_limit=0).to_pandas()
+
+
 def test_referential_queries_distributed_path(ray_session, monkeypatch):
     """Force the large-key-set regime (gate=0) for the two referential
     checks and the near-dup dedup apply; outputs must equal the
