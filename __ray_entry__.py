@@ -186,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_counts": T.doc_lang_counts,
         "doc_token_stats": T.doc_token_stats,
         "doc_fingerprint": T.doc_fingerprint,
+        "doc_repetition_stats": T.doc_repetition_stats,
         # --- (3) no-oracle (rows-only) entries ---
         "img_validate": img_validate,
         "img_partition_status": img_partition_status,
@@ -282,4 +283,5 @@ def oracle_sql() -> dict[str, str]:
         "emb_norms": E.NORMS_SQL,
         "emb_label_stats": E.LABEL_STATS_SQL,
         "emb_cosine_topk": E.cosine_topk_sql(),
+        "doc_repetition_stats": T.REPETITION_SQL,
     }

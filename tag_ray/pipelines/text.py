@@ -882,3 +882,100 @@ def contamination_from(docs: rd.Dataset, eval_mod: int = 20,
                         "train_doc": train_doc.astype("int64"),
                         "n_shared": pe["n_shared"].to_numpy()})
     return out.sort_values(["eval_doc", "train_doc"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Repetition quality signals (Gopher-style repetition filters, Rae et
+# al. 2021 §A1.1): documents dominated by one repeated token or one
+# repeated n-gram are boilerplate/spam and get filtered before
+# training. Per-doc: type-token ratio, top-token occurrence fraction,
+# top-bigram occurrence fraction. Embarrassingly parallel — one
+# explode + C-level groupbys per batch, no shuffle; fractions rounded
+# through functions/rounding.py for DuckDB ROUND parity.
+
+
+def doc_repetition_stats(sf_dir: str) -> rd.Dataset:
+    docs = table(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(repetition_batch, batch_format="pandas")
+
+
+def repetition_batch(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reset_index(drop=True)
+    doc_ids = df["doc_id"].to_numpy()
+    ex = df["text"].fillna("").str.strip().str.split().explode()
+    # docs with zero tokens explode to a single NaN row — drop them
+    ex = ex.dropna()
+    pos = ex.index.to_numpy()          # row position within batch
+    # token identity as int codes: lexsort/group on int64, never on
+    # Python strings (one factorize per batch is the only pass that
+    # touches string objects)
+    codes = (pd.factorize(ex.to_numpy())[0].astype(np.int64)
+             if len(pos) else np.zeros(0, dtype=np.int64))
+    n = np.zeros(len(df), dtype=np.int64)
+    np.add.at(n, pos, 1)
+
+    def top_and_distinct(keys: np.ndarray, vals: np.ndarray):
+        """per-doc (max group count, distinct groups) via one lexsort."""
+        top = np.zeros(len(df), dtype=np.int64)
+        distinct = np.zeros(len(df), dtype=np.int64)
+        if len(keys):
+            order = np.lexsort((vals, keys))
+            k, v = keys[order], vals[order]
+            new = np.ones(len(k), dtype=bool)
+            new[1:] = (k[1:] != k[:-1]) | (v[1:] != v[:-1])
+            starts = np.flatnonzero(new)
+            cnts = np.diff(np.append(starts, len(k)))
+            np.maximum.at(top, k[starts], cnts)
+            np.add.at(distinct, k[starts], 1)
+        return top, distinct
+
+    top_tok, n_distinct = top_and_distinct(pos, codes)
+
+    # bigram identity = adjacent same-doc code pair packed into one
+    # int64 (vocab is per-batch, so the pack never overflows)
+    adj = pos[:-1] == pos[1:]
+    vocab = codes.max() + 1 if len(codes) else 1
+    bg_codes = codes[:-1][adj] * vocab + codes[1:][adj]
+    top_bg, _ = top_and_distinct(pos[:-1][adj], bg_codes)
+
+    safe_n = np.maximum(n, 1).astype(np.float64)
+    n_bg = np.maximum(n - 1, 1).astype(np.float64)
+    return pd.DataFrame({
+        "doc_id": doc_ids,
+        "n_tokens": n,
+        "ttr": round_half_away(n_distinct / safe_n, 4),
+        "top_tok_frac": round_half_away(top_tok / safe_n, 4),
+        "top_bigram_frac": round_half_away(top_bg / n_bg, 4),
+    })
+
+
+REPETITION_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+),
+tp AS (
+  SELECT doc_id, unnest(a) AS tok, generate_subscripts(a, 1) AS pos
+  FROM toks
+),
+tc AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM tp GROUP BY doc_id, tok),
+ta AS (SELECT doc_id, SUM(cnt) AS n_toks, COUNT(*) AS n_distinct,
+              MAX(cnt) AS top_cnt
+       FROM tc GROUP BY doc_id),
+bg AS (
+  SELECT t1.doc_id, t1.tok || ' ' || t2.tok AS bigram
+  FROM tp t1 JOIN tp t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+),
+bc AS (SELECT doc_id, bigram, COUNT(*) AS cnt FROM bg GROUP BY doc_id, bigram),
+ba AS (SELECT doc_id, MAX(cnt) AS top_bg FROM bc GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(ta.n_toks, 0)::BIGINT AS n_tokens,
+       COALESCE(ROUND(ta.n_distinct::DOUBLE / ta.n_toks, 4), 0.0) AS ttr,
+       COALESCE(ROUND(ta.top_cnt::DOUBLE / ta.n_toks, 4), 0.0) AS top_tok_frac,
+       CASE WHEN ta.n_toks >= 2
+            THEN ROUND(COALESCE(ba.top_bg, 0)::DOUBLE / (ta.n_toks - 1), 4)
+            ELSE 0.0 END AS top_bigram_frac
+FROM documents d
+LEFT JOIN ta ON d.doc_id = ta.doc_id
+LEFT JOIN ba ON d.doc_id = ba.doc_id
+"""

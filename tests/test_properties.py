@@ -105,3 +105,33 @@ def test_round_half_away_matches_duckdb(seed, n):
         "FROM (SELECT unnest(?::DOUBLE[]) AS x)", [x.tolist()]).fetchdf()
     assert (to_cents(x) == df["c"].to_numpy()).all()
     assert (round_half_away(x, 4) == df["r4"].to_numpy()).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(seed=st.integers(0, 2**32 - 1), n=st.integers(1, 60))
+def test_repetition_stats_match_duckdb(seed, n):
+    """repetition_batch (the doc_repetition_stats kernel) is bit-exact
+    vs the DuckDB oracle SQL on arbitrary token soups, including empty
+    docs, single-token docs, and all-one-token docs."""
+    import duckdb
+    import pandas as pd
+
+    from tag_ray.pipelines.text import REPETITION_SQL, repetition_batch
+
+    rng = np.random.default_rng(seed)
+    vocab = ["a", "bb", "ccc", "x1", "tok", "z"]
+    texts = []
+    for i in range(n):
+        k = int(rng.integers(0, 12))
+        texts.append(" ".join(rng.choice(vocab, size=k)) if k else "")
+    docs = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                         "text": texts})
+
+    eng = repetition_batch(docs).sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute("SET threads=1")
+    con.register("documents", docs)
+    ora = (con.execute(REPETITION_SQL).df()
+           .sort_values("doc_id").reset_index(drop=True))
+    con.close()
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=True)
