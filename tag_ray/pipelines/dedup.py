@@ -29,7 +29,7 @@ from tag_ray.codecs.phash import hamming64, phash_bands
 from tag_ray.functions.hashing import hash_strings64
 from tag_ray.functions.rounding import round_half_away
 
-from tag_ray.sources import table
+from tag_ray.sources import table, table_rows
 
 # ---------------------------------------------------------------------------
 # exact dedup (md5 groupby) — returns duplicate groups
@@ -224,13 +224,24 @@ def _sorted_dedup_runs(g: pd.DataFrame, key_cols: list[str], id_col: str,
     return (*arrs, ids, *extras)
 
 
+_LOCAL_BANDED_LIMIT = 2_000_000  # banded rows; one-block kernel below
+
+
 def doc_minhash_candidates(docs: rd.Dataset, num_perm: int = 128,
-                           bands: int = 16, shingle_k: int = 3) -> rd.Dataset:
+                           bands: int = 16, shingle_k: int = 3,
+                           n_docs: int | None = None) -> rd.Dataset:
     """documents → candidate near-dup pairs (doc_id_a < doc_id_b) via LSH.
 
     Shuffle carries only (band_id, band_val, doc_id). Candidate pairs per
     bucket are emitted by map_groups; cross-band duplicates removed by a
-    final pair-key groupby."""
+    final pair-key groupby.
+
+    ``n_docs`` (parquet-footer row count from the caller, no scan) gates
+    an adaptive small-corpus path: banded rows = n_docs × bands exactly,
+    and below ``_LOCAL_BANDED_LIMIT`` of them the (band, value) bucket
+    shuffle is ~0.8 s of pure orchestration for a set one task lexsorts
+    in milliseconds — so pair generation AND cross-band dedup collapse
+    into one single-block kernel. Unknown size ⇒ distributed path."""
 
     def signatures(b: pa.Table) -> pa.Table:
         # plain task, not an actor pool: MinHasher setup is trivial (two
@@ -258,6 +269,16 @@ def doc_minhash_candidates(docs: rd.Dataset, num_perm: int = 128,
 
     from tag_ray.functions.grouping import (coarse_bucket_apply,
                                             grouped_aggregate, run_pair_indices)
+
+    if n_docs is not None and n_docs * bands <= _LOCAL_BANDED_LIMIT:
+        def local_pairs(g: pd.DataFrame) -> pd.DataFrame:
+            pairs = pair_bucket(g)
+            out = pairs.groupby(["doc_id_a", "doc_id_b"], sort=False) \
+                       .size().reset_index(name="n_bands")
+            return out.astype({"doc_id_a": "int64", "doc_id_b": "int64",
+                               "n_bands": "int64"})
+        return banded.repartition(1).map_batches(local_pairs,
+                                                 batch_format="pandas")
 
     cand = coarse_bucket_apply(banded, ["band_id", "band_val"],
                                pair_bucket).materialize()
@@ -333,7 +354,8 @@ def doc_minhash_near_dups(sf_dir: str, jaccard_threshold: float = 0.5,
     threshold. Verification cost stays proportional to the candidate
     set, which LSH keeps tiny, and runs where the data is."""
     docs = table(sf_dir, "documents", columns=["doc_id", "text"])
-    cand = doc_minhash_candidates(docs, shingle_k=shingle_k)
+    cand = doc_minhash_candidates(docs, shingle_k=shingle_k,
+                                  n_docs=table_rows(sf_dir, "documents"))
     return _verified_jaccard_pairs(docs, cand, jaccard_threshold, shingle_k)
 
 
@@ -816,7 +838,8 @@ def doc_near_dup_clusters(sf_dir: str,
     # stage — the candidate → verify → cluster chain never touches the
     # driver (VERDICT r1 stretch #10)
     docs = table(sf_dir, "documents", columns=["doc_id", "text"])
-    cand = doc_minhash_candidates(docs)
+    cand = doc_minhash_candidates(docs,
+                                  n_docs=table_rows(sf_dir, "documents"))
     pairs_ds = _verified_jaccard_pairs_ds(docs, cand, jaccard_threshold, 3)
     if pairs_ds is None:
         return rd.from_arrow(pa.Table.from_pydict({
@@ -858,7 +881,8 @@ def doc_minhash_dedup_apply(sf_dir: str,
 
     out_docs = table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
     docs = table(sf_dir, "documents", columns=["doc_id", "text"])
-    cand = doc_minhash_candidates(docs)
+    cand = doc_minhash_candidates(docs,
+                                  n_docs=table_rows(sf_dir, "documents"))
     pairs_ds = _verified_jaccard_pairs_ds(docs, cand, jaccard_threshold, 3)
     if pairs_ds is None:
         return out_docs

@@ -18,6 +18,17 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def table_rows(sf_dir: str, name: str) -> int:
+    """Exact row count from parquet footer metadata — no data read.
+
+    The cheap size signal the adaptive small-side gates key off
+    (functions/keyjoin.py does the same for key-set bytes): at any
+    scale this is one footer fetch, never a scan."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(table_path(sf_dir, name)).metadata.num_rows
+
+
 def read_table(uri: str, columns: list[str] | None = None,
                **kwargs) -> rd.Dataset:
     """Storage-dispatching reader: ``.lance`` datasets go through

@@ -52,3 +52,28 @@ def test_minhash_dedup_apply_consistent(ray_session):
     reps = set(comp.loc[comp["keep"], "doc_id"])
     assert reps <= set(kept["doc_id"])
     assert kept["doc_id"].is_unique
+
+
+def test_minhash_candidates_local_path_matches_distributed(ray_session):
+    """The n_docs-gated single-block candidate kernel (pair generation +
+    cross-band dedup fused, no bucket shuffle) is bit-identical to the
+    distributed coarse-bucket path on the same corpus."""
+    import pandas as pd
+
+    from tag_ray.pipelines.dedup import (_LOCAL_BANDED_LIMIT,
+                                         doc_minhash_candidates)
+    from tag_ray.sources import table, table_rows
+
+    docs = table(SF_DIR, "documents", columns=["doc_id", "text"])
+    n_docs = table_rows(SF_DIR, "documents")
+    assert n_docs * 16 <= _LOCAL_BANDED_LIMIT  # fixture takes local path
+
+    def _sorted(ds):
+        return (ds.to_pandas()
+                .sort_values(["doc_id_a", "doc_id_b"])
+                .reset_index(drop=True))
+
+    local = _sorted(doc_minhash_candidates(docs, n_docs=n_docs))
+    dist = _sorted(doc_minhash_candidates(docs, n_docs=None))
+    pd.testing.assert_frame_equal(local, dist, check_dtype=True)
+    assert len(local) > 0  # the fixture corpus has planted near-dups
