@@ -27,7 +27,7 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from tag_ray.config import join_num_partitions
 from tag_ray.functions.rounding import round_half_away, to_cents
-from tag_ray.sources import table
+from tag_ray.sources import combine_num_blocks, table
 
 _US_PER_HOUR = 3_600_000_000
 SESSION_GAP_US = 1_800_000_000  # 30 min
@@ -40,9 +40,14 @@ _cents = to_cents
 
 
 def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
+    # block cap ≈ CPUs/2 (byte-floored): the per-block combine UDF is
+    # ~10 ms, so Ray's default 2×CPUs split pays more in block handoffs
+    # than compute and blocks read→map fusion (SplitBlocks); measured
+    # 1.2→0.5 s at sf0.1
     li = table(sf_dir, "lineitem",
                columns=["l_returnflag", "l_linestatus", "l_quantity",
-                        "l_extendedprice", "l_discount", "l_tax", "l_shipdate"])
+                        "l_extendedprice", "l_discount", "l_tax", "l_shipdate"],
+               num_blocks=combine_num_blocks(sf_dir, "lineitem"))
 
     def derive(b: pa.Table) -> pa.Table:
         b = b.filter(pc.less_equal(b["l_shipdate"],
@@ -61,34 +66,49 @@ def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
             "disc": pa.array(disc),
         })
 
-    agg = (li.map_batches(derive, batch_format="pyarrow")
-           .groupby(["l_returnflag", "l_linestatus"])
-           .aggregate(Sum("qty_c", alias_name="sum_qty_c"),
-                      Sum("price_c", alias_name="sum_price_c"),
-                      Sum("disc_price_c", alias_name="sum_disc_price_c"),
-                      Sum("charge_c", alias_name="sum_charge_c"),
-                      Mean("disc", alias_name="avg_disc_raw"),
-                      Count(alias_name="count_order")))
+    # map-side combine: every block collapses to ≤6 integer-cent partial
+    # rows before any exchange (the 6-group key never justifies sorting
+    # the whole derived table through an all-to-all; partials merge
+    # exactly because every measure — including the discount mean
+    # numerator, exact in basis points since l_discount is 2-decimal —
+    # is an int64 sum)
+    def partials(b: pa.Table) -> pa.Table:
+        d = derive(b).to_pandas()
+        d["disc_bp"] = _cents(d.pop("disc").to_numpy() * 100.0)
+        g = (d.groupby(["l_returnflag", "l_linestatus"], sort=False,
+                       observed=True)
+             .agg(sum_qty_c=("qty_c", "sum"),
+                  sum_price_c=("price_c", "sum"),
+                  sum_disc_price_c=("disc_price_c", "sum"),
+                  sum_charge_c=("charge_c", "sum"),
+                  sum_disc_bp=("disc_bp", "sum"),
+                  count_order=("qty_c", "size"))
+             .reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    def finalize(b: pa.Table) -> pa.Table:
-        n = b["count_order"].to_numpy(zero_copy_only=False).astype(np.float64)
-        return pa.Table.from_pydict({
-            "l_returnflag": b["l_returnflag"],
-            "l_linestatus": b["l_linestatus"],
-            "sum_qty": pa.array(b["sum_qty_c"].to_numpy(zero_copy_only=False) / 100.0),
-            "sum_base_price": pa.array(b["sum_price_c"].to_numpy(zero_copy_only=False) / 100.0),
-            "sum_disc_price": pa.array(b["sum_disc_price_c"].to_numpy(zero_copy_only=False) / 100.0),
-            "sum_charge": pa.array(b["sum_charge_c"].to_numpy(zero_copy_only=False) / 100.0),
-            "avg_qty": pa.array(round_half_away(
-                b["sum_qty_c"].to_numpy(zero_copy_only=False) / 100.0 / n, 4)),
-            "avg_price": pa.array(round_half_away(
-                b["sum_price_c"].to_numpy(zero_copy_only=False) / 100.0 / n, 4)),
-            "avg_disc": pa.array(round_half_away(
-                b["avg_disc_raw"].to_numpy(zero_copy_only=False), 4)),
-            "count_order": b["count_order"],
+    def merge_finalize(g: pd.DataFrame) -> pd.DataFrame:
+        m = (g.groupby(["l_returnflag", "l_linestatus"], sort=False,
+                       observed=True).sum().reset_index())
+        n = m["count_order"].to_numpy().astype(np.float64)
+        return pd.DataFrame({
+            "l_returnflag": m["l_returnflag"],
+            "l_linestatus": m["l_linestatus"],
+            "sum_qty": m["sum_qty_c"].to_numpy() / 100.0,
+            "sum_base_price": m["sum_price_c"].to_numpy() / 100.0,
+            "sum_disc_price": m["sum_disc_price_c"].to_numpy() / 100.0,
+            "sum_charge": m["sum_charge_c"].to_numpy() / 100.0,
+            "avg_qty": round_half_away(
+                m["sum_qty_c"].to_numpy() / 100.0 / n, 4),
+            "avg_price": round_half_away(
+                m["sum_price_c"].to_numpy() / 100.0 / n, 4),
+            "avg_disc": round_half_away(
+                m["sum_disc_bp"].to_numpy() / 100.0 / n / 100.0, 4),
+            "count_order": m["count_order"].to_numpy().astype("int64"),
         })
 
-    return agg.map_batches(finalize, batch_format="pyarrow")
+    return (li.map_batches(partials, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(merge_finalize, batch_format="pandas"))
 
 
 Q1_SQL = """

@@ -9,13 +9,43 @@ import os
 import ray.data as rd
 
 
-def table(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
-    """Read one named table from a scale-factor dir, pruned at the read."""
-    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+def table(sf_dir: str, name: str, columns: list[str] | None = None,
+          num_blocks: int | None = None) -> rd.Dataset:
+    """Read one named table from a scale-factor dir, pruned at the read.
+
+    ``num_blocks`` caps the block count for consumers whose per-block
+    work is trivial (map-side-combine aggregates): Ray's default split
+    (2×CPUs) pays a per-block handoff that dominates when each block's
+    UDF runs ~10 ms (measured: 64→16 blocks cuts the warm lineitem
+    read 0.37→0.22 s). Leave None for compute-heavy or shuffle-bound
+    consumers."""
+    kw = {} if num_blocks is None else {"override_num_blocks": num_blocks}
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"),
+                           columns=columns, **kw)
 
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def combine_num_blocks(sf_dir: str, name: str) -> int:
+    """Block hint for map-side-combine consumers (per-block UDF ~ms):
+    ~CPUs/2 so handoffs don't dominate and read→map fusion isn't
+    blocked by SplitBlocks — but never fewer blocks than
+    bytes / target_max_block_size, so the cap can't force multi-GB
+    blocks on a genuinely large table (at 100 TB the byte floor wins
+    and this degrades to Ray's own sizing)."""
+    import pyarrow.parquet as pq
+    from ray.data import DataContext
+
+    from tag_ray.config import join_num_partitions
+
+    md = pq.ParquetFile(table_path(sf_dir, name)).metadata
+    nbytes = sum(md.row_group(i).total_byte_size
+                 for i in range(md.num_row_groups))
+    target = DataContext.get_current().target_max_block_size \
+        or (128 * 1024 * 1024)
+    return max(join_num_partitions(), -(-nbytes // target))
 
 
 def table_rows(sf_dir: str, name: str) -> int:
