@@ -269,7 +269,8 @@ def _q5_broadcast(sf_dir: str, ckeys: np.ndarray, ccodes: np.ndarray,
     as the join path. Measured 1.3 s vs 4.6 s for the join path at
     sf0.1 / 32 CPUs."""
     cust_h = ray.put((ckeys, ccodes))
-    orders = table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    orders = table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"],
+                   num_blocks=combine_num_blocks(sf_dir, "orders"))
 
     def attach(b: pa.Table) -> pa.Table:
         keys, cds = ray.get(cust_h)
@@ -291,7 +292,8 @@ def _q5_broadcast(sf_dir: str, ckeys: np.ndarray, ccodes: np.ndarray,
     omap_h = ray.put((ok[so], orc[so]))
 
     li = table(sf_dir, "lineitem",
-               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+               columns=["l_orderkey", "l_extendedprice", "l_discount"],
+               num_blocks=combine_num_blocks(sf_dir, "lineitem"))
 
     def partial(b: pa.Table) -> pa.Table:
         okk, rcc = ray.get(omap_h)
@@ -548,7 +550,8 @@ def events_sliding(sf_dir: str, window_hours: int = 2,
     the reference lacks; SURVEY.md §2.6)."""
     win_us = window_hours * _US_PER_HOUR
     slide_us = slide_hours * _US_PER_HOUR
-    ev = table(sf_dir, "events", columns=["event_type", "ts", "value"])
+    ev = table(sf_dir, "events", columns=["event_type", "ts", "value"],
+               num_blocks=combine_num_blocks(sf_dir, "events"))
 
     def explode(b: pa.Table) -> pa.Table:
         us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
@@ -634,7 +637,8 @@ def events_sessions(sf_dir: str) -> rd.Dataset:
     from tag_ray.functions.grouping import (COARSE_COL, _combined_key,
                                             default_num_buckets)
 
-    ev = table(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+    ev = table(sf_dir, "events", columns=["user_id", "event_id", "ts"],
+               num_blocks=combine_num_blocks(sf_dir, "events"))
     buckets = default_num_buckets()
 
     def derive(b: pa.Table) -> pa.Table:
@@ -748,7 +752,8 @@ ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
 
 
 def stats_lineitem_global(sf_dir: str) -> pd.DataFrame:
-    li = table(sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice"])
+    li = table(sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice"],
+               num_blocks=combine_num_blocks(sf_dir, "lineitem"))
     from ray.data.aggregate import Std
     res = li.aggregate(
         Count(alias_name="n"),
