@@ -87,3 +87,28 @@ def test_write_table_dispatches_lance(ray_session, monkeypatch):
 
     sources.write_table(ds, "/out/violations.lance")
     assert calls == {"uri": "/out/violations.lance"}
+
+
+def test_combine_num_blocks_byte_floor():
+    """The combine-read block cap can never force oversized blocks: when
+    bytes/target_max_block_size exceeds the ~CPUs/2 hint, the byte floor
+    wins (at 100 TB this degrades to Ray's own sizing)."""
+    from ray.data import DataContext
+
+    from tag_ray.config import join_num_partitions
+    from tag_ray.sources import combine_num_blocks, table_rows
+
+    sf = "/root/testdata/sf0.001"
+    base = combine_num_blocks(sf, "lineitem")
+    assert base >= join_num_partitions() >= 8
+
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 1024  # force the byte floor to win
+        floored = combine_num_blocks(sf, "lineitem")
+        assert floored > base  # tiny target ⇒ many more blocks than CPUs/2
+    finally:
+        ctx.target_max_block_size = old
+
+    assert table_rows(sf, "lineitem") == 6000  # footer metadata, no scan
