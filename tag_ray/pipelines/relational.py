@@ -29,6 +29,19 @@ from tag_ray.config import join_num_partitions
 from tag_ray.functions.rounding import round_half_away, to_cents
 from tag_ray.sources import combine_num_blocks, table
 
+
+def _ctable(sf_dir: str, name: str, columns: list | None = None):
+    """Capped table read for this module's combine/shuffle-bound
+    consumers: every relational kernel here is a cheap vectorized UDF,
+    so reads are sized by cluster width and bytes
+    (sources.combine_num_blocks: ~CPUs/2, floored by
+    bytes/target_max_block_size) rather than Ray's 2xCPUs default —
+    measured ~2x across the query family at sf0.1 (q1 1.2->0.5 s,
+    orders_rank_in_customer 1.1->0.46 s, events_daily_pivot
+    0.56->0.24 s; see CLAUDE.md r3 block-cap lesson)."""
+    return table(sf_dir, name, columns=columns,
+                 num_blocks=combine_num_blocks(sf_dir, name))
+
 _US_PER_HOUR = 3_600_000_000
 SESSION_GAP_US = 1_800_000_000  # 30 min
 
@@ -44,10 +57,9 @@ def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
     # ~10 ms, so Ray's default 2×CPUs split pays more in block handoffs
     # than compute and blocks read→map fusion (SplitBlocks); measured
     # 1.2→0.5 s at sf0.1
-    li = table(sf_dir, "lineitem",
+    li = _ctable(sf_dir, "lineitem",
                columns=["l_returnflag", "l_linestatus", "l_quantity",
-                        "l_extendedprice", "l_discount", "l_tax", "l_shipdate"],
-               num_blocks=combine_num_blocks(sf_dir, "lineitem"))
+                        "l_extendedprice", "l_discount", "l_tax", "l_shipdate"])
 
     def derive(b: pa.Table) -> pa.Table:
         b = b.filter(pc.less_equal(b["l_shipdate"],
@@ -132,7 +144,7 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q3_revenue_topk(sf_dir: str) -> pd.DataFrame:
-    li = table(sf_dir, "lineitem",
+    li = _ctable(sf_dir, "lineitem",
                columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
     def derive(b: pa.Table) -> pa.Table:
@@ -149,7 +161,7 @@ def q3_revenue_topk(sf_dir: str) -> pd.DataFrame:
     # rev_c is integer cents so the sum stays bit-exact vs the oracle
     rev = grouped_aggregate(li.map_batches(derive, batch_format="pyarrow"),
                             ["l_orderkey"], {"rev_c": ("rev_c", "sum")})
-    orders = table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    orders = _ctable(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
     joined = rev.join(orders, "inner", num_partitions=join_num_partitions(),
                       on=("l_orderkey",), right_on=("o_orderkey",))
     top = joined.sort(["rev_c", "l_orderkey"], descending=[True, False]).limit(10)
@@ -212,7 +224,7 @@ def q5_region_revenue(sf_dir: str):
     handle = ray.put((keys[order], codes[order].astype(np.int32),
                       np.asarray(names, dtype=object)))
 
-    orders = table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    orders = _ctable(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
 
     class AttachRegion:
         def __init__(self, h):
@@ -232,7 +244,7 @@ def q5_region_revenue(sf_dir: str):
 
     orders_r = orders.map_batches(lambda b: AttachRegion(handle)(b),
                                   batch_format="pyarrow")
-    li = table(sf_dir, "lineitem",
+    li = _ctable(sf_dir, "lineitem",
                columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
     def derive(b: pa.Table) -> pa.Table:
@@ -269,8 +281,7 @@ def _q5_broadcast(sf_dir: str, ckeys: np.ndarray, ccodes: np.ndarray,
     as the join path. Measured 1.3 s vs 4.6 s for the join path at
     sf0.1 / 32 CPUs."""
     cust_h = ray.put((ckeys, ccodes))
-    orders = table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"],
-                   num_blocks=combine_num_blocks(sf_dir, "orders"))
+    orders = _ctable(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
 
     def attach(b: pa.Table) -> pa.Table:
         keys, cds = ray.get(cust_h)
@@ -291,9 +302,8 @@ def _q5_broadcast(sf_dir: str, ckeys: np.ndarray, ccodes: np.ndarray,
     so = np.argsort(ok, kind="stable")
     omap_h = ray.put((ok[so], orc[so]))
 
-    li = table(sf_dir, "lineitem",
-               columns=["l_orderkey", "l_extendedprice", "l_discount"],
-               num_blocks=combine_num_blocks(sf_dir, "lineitem"))
+    li = _ctable(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
     def partial(b: pa.Table) -> pa.Table:
         okk, rcc = ray.get(omap_h)
@@ -339,7 +349,7 @@ GROUP BY r_name
 
 
 def orders_priority_count(sf_dir: str) -> rd.Dataset:
-    return (table(sf_dir, "orders", columns=["o_orderpriority"])
+    return (_ctable(sf_dir, "orders", columns=["o_orderpriority"])
             .groupby("o_orderpriority").aggregate(Count(alias_name="n")))
 
 
@@ -347,7 +357,7 @@ PRIORITY_SQL = "SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY o_ord
 
 
 def top_customers(sf_dir: str) -> pd.DataFrame:
-    orders = table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    orders = _ctable(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
     def derive(b: pa.Table) -> pa.Table:
         return pa.Table.from_pydict({
@@ -408,8 +418,8 @@ def ref_orphan_orders(sf_dir: str) -> rd.Dataset:
     from tag_ray.sources import table_path
 
     est = pq.ParquetFile(table_path(sf_dir, "customer")).metadata.num_rows
-    keys = table(sf_dir, "customer", columns=["c_custkey"])
-    orders = table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    keys = _ctable(sf_dir, "customer", columns=["c_custkey"])
+    orders = _ctable(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     return small_result(
         filter_by_key_set(orders, "o_custkey", keys, "c_custkey",
                           anti=True, est_rows=est),
@@ -425,7 +435,7 @@ WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
 def uniqueness_orderkey(sf_dir: str) -> rd.Dataset:
     from tag_ray.functions.grouping import grouped_aggregate
 
-    counts = grouped_aggregate(table(sf_dir, "orders", columns=["o_orderkey"]),
+    counts = grouped_aggregate(_ctable(sf_dir, "orders", columns=["o_orderkey"]),
                                ["o_orderkey"], {"n": (None, "count")})
     from tag_ray.pipelines._util import small_result
     return small_result(
@@ -440,7 +450,7 @@ SELECT o_orderkey, COUNT(*) AS n FROM orders GROUP BY o_orderkey HAVING COUNT(*)
 
 
 def range_check_part(sf_dir: str) -> rd.Dataset:
-    p = table(sf_dir, "part", columns=["p_partkey", "p_size"])
+    p = _ctable(sf_dir, "part", columns=["p_partkey", "p_size"])
     from tag_ray.pipelines._util import small_result
     return small_result(
         p.map_batches(
@@ -454,7 +464,7 @@ RANGE_SQL = "SELECT p_partkey, p_size FROM part WHERE p_size < 1 OR p_size > 50"
 
 
 def set_check_orders(sf_dir: str) -> rd.Dataset:
-    o = table(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
+    o = _ctable(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
     valid = pa.array(["O", "F", "P"])
     from tag_ray.pipelines._util import small_result
     return small_result(
@@ -472,7 +482,7 @@ SET_SQL = "SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus NOT 
 
 
 def events_hourly(sf_dir: str) -> rd.Dataset:
-    ev = table(sf_dir, "events", columns=["event_type", "ts", "value"])
+    ev = _ctable(sf_dir, "events", columns=["event_type", "ts", "value"])
 
     def derive(b: pa.Table) -> pa.Table:
         us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
@@ -511,7 +521,7 @@ def events_type_stats(sf_dir: str) -> rd.Dataset:
     Money-style cents discipline keeps sums exact vs the SQL oracle."""
     from tag_ray.functions.salted import salted_aggregate
 
-    ev = table(sf_dir, "events", columns=["event_type", "value"])
+    ev = _ctable(sf_dir, "events", columns=["event_type", "value"])
 
     def derive(b: pa.Table) -> pa.Table:
         return pa.Table.from_pydict({
@@ -550,8 +560,7 @@ def events_sliding(sf_dir: str, window_hours: int = 2,
     the reference lacks; SURVEY.md §2.6)."""
     win_us = window_hours * _US_PER_HOUR
     slide_us = slide_hours * _US_PER_HOUR
-    ev = table(sf_dir, "events", columns=["event_type", "ts", "value"],
-               num_blocks=combine_num_blocks(sf_dir, "events"))
+    ev = _ctable(sf_dir, "events", columns=["event_type", "ts", "value"])
 
     def explode(b: pa.Table) -> pa.Table:
         us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
@@ -637,8 +646,7 @@ def events_sessions(sf_dir: str) -> rd.Dataset:
     from tag_ray.functions.grouping import (COARSE_COL, _combined_key,
                                             default_num_buckets)
 
-    ev = table(sf_dir, "events", columns=["user_id", "event_id", "ts"],
-               num_blocks=combine_num_blocks(sf_dir, "events"))
+    ev = _ctable(sf_dir, "events", columns=["user_id", "event_id", "ts"])
     buckets = default_num_buckets()
 
     def derive(b: pa.Table) -> pa.Table:
@@ -704,7 +712,7 @@ def events_asof_join(sf_dir: str) -> rd.Dataset:
     rows. Oracle: DuckDB ``ASOF JOIN``."""
     from tag_ray.functions.grouping import coarse_bucket_apply
 
-    ev = table(sf_dir, "events", columns=["event_id", "ts", "user_id",
+    ev = _ctable(sf_dir, "events", columns=["event_id", "ts", "user_id",
                                           "event_type"])
 
     def sides(b: pa.Table) -> pa.Table:
@@ -752,8 +760,7 @@ ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
 
 
 def stats_lineitem_global(sf_dir: str) -> pd.DataFrame:
-    li = table(sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice"],
-               num_blocks=combine_num_blocks(sf_dir, "lineitem"))
+    li = _ctable(sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice"])
     from ray.data.aggregate import Std
     res = li.aggregate(
         Count(alias_name="n"),
@@ -809,7 +816,7 @@ def cust_with_open_orders(sf_dir: str) -> rd.Dataset:
     open_keys = rd.read_parquet(
         table_path(sf_dir, "orders"), columns=["o_custkey"],
         filter=pads.field("o_orderstatus") == "O")
-    cust = table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    cust = _ctable(sf_dir, "customer", columns=["c_custkey", "c_name"])
     return filter_by_key_set(cust, "c_custkey", open_keys, "o_custkey",
                              est_rows=est)
 
@@ -828,10 +835,10 @@ WHERE EXISTS (SELECT 1 FROM orders
 def active_party_keys(sf_dir: str) -> rd.Dataset:
     """Distinct nation keys appearing as either a customer's or a
     supplier's nation — union → project → global distinct."""
-    cust = table(sf_dir, "customer", columns=["c_nationkey"]).map_batches(
+    cust = _ctable(sf_dir, "customer", columns=["c_nationkey"]).map_batches(
         lambda b: pa.Table.from_pydict({"nationkey": b["c_nationkey"]}),
         batch_format="pyarrow")
-    supp = table(sf_dir, "supplier", columns=["s_nationkey"]).map_batches(
+    supp = _ctable(sf_dir, "supplier", columns=["s_nationkey"]).map_batches(
         lambda b: pa.Table.from_pydict({"nationkey": b["s_nationkey"]}),
         batch_format="pyarrow")
     return cust.union(supp).groupby("nationkey").aggregate(
@@ -856,7 +863,7 @@ def big_orders(sf_dir: str, min_items: int = 6) -> rd.Dataset:
 
     from tag_ray.functions.grouping import grouped_aggregate
 
-    li = table(sf_dir, "lineitem", columns=["l_orderkey"])
+    li = _ctable(sf_dir, "lineitem", columns=["l_orderkey"])
     agg = grouped_aggregate(li, ["l_orderkey"], {"n_items": (None, "count")})
     return agg.map_batches(
         lambda b: b.filter(pc.greater_equal(b["n_items"], min_items)),
@@ -878,7 +885,7 @@ GROUP BY l_orderkey HAVING COUNT(*) >= 6
 
 
 def orders_topk_per_group(sf_dir: str, k: int = 3) -> pd.DataFrame:
-    orders = table(sf_dir, "orders",
+    orders = _ctable(sf_dir, "orders",
                    columns=["o_orderpriority", "o_orderkey", "o_totalprice"])
 
     def partial(b: pa.Table) -> pa.Table:
@@ -918,7 +925,7 @@ SELECT o_orderpriority, o_orderkey, o_totalprice, rk FROM (
 
 
 def lineitem_price_histogram(sf_dir: str, bin_width: float = 1000.0) -> pd.DataFrame:
-    li = table(sf_dir, "lineitem", columns=["l_extendedprice"])
+    li = _ctable(sf_dir, "lineitem", columns=["l_extendedprice"])
 
     def partial(b: pa.Table) -> pa.Table:
         price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
@@ -958,7 +965,7 @@ FROM lineitem GROUP BY 1 ORDER BY 1
 def orders_rollup(sf_dir: str) -> pd.DataFrame:
     from tag_ray.functions.grouping import grouped_aggregate
 
-    orders = table(sf_dir, "orders",
+    orders = _ctable(sf_dir, "orders",
                    columns=["o_orderstatus", "o_orderpriority", "o_totalprice"])
 
     def derive(b: pa.Table) -> pa.Table:
@@ -1008,7 +1015,7 @@ ORDER BY 1, 2
 def orders_lag_gap(sf_dir: str) -> rd.Dataset:
     from tag_ray.functions.grouping import coarse_bucket_apply
 
-    orders = table(sf_dir, "orders",
+    orders = _ctable(sf_dir, "orders",
                    columns=["o_orderkey", "o_custkey", "o_orderdate"])
 
     def derive(b: pa.Table) -> pa.Table:
@@ -1059,7 +1066,7 @@ FROM orders QUALIFY gap_us IS NOT NULL
 def lineitem_quantity_quantiles(sf_dir: str) -> pd.DataFrame:
     from tag_ray.functions.quantiles import grouped_histogram_quantiles
 
-    li = table(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+    li = _ctable(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
     out = grouped_histogram_quantiles(
         li, "l_returnflag", "l_quantity",
         {"p25": 0.25, "p50": 0.50, "p75": 0.75})
@@ -1085,7 +1092,7 @@ FROM lineitem GROUP BY l_returnflag
 def cust_order_counts(sf_dir: str) -> rd.Dataset:
     from tag_ray.functions.grouping import coarse_bucket_apply
 
-    cust = table(sf_dir, "customer", columns=["c_custkey"]).map_batches(
+    cust = _ctable(sf_dir, "customer", columns=["c_custkey"]).map_batches(
         lambda b: pa.Table.from_pydict({
             "key": b["c_custkey"],
             "cnt": pa.array(np.zeros(b.num_rows, np.int64)),
@@ -1100,7 +1107,7 @@ def cust_order_counts(sf_dir: str) -> rd.Dataset:
             "cnt": pa.array(vc.to_numpy().astype(np.int64)),
             "is_cust": pa.array(np.zeros(len(vc), np.int8))})
 
-    orders = table(sf_dir, "orders", columns=["o_custkey"]).map_batches(
+    orders = _ctable(sf_dir, "orders", columns=["o_custkey"]).map_batches(
         orders_partial, batch_format="pyarrow")
 
     def bucket_join(g: pd.DataFrame) -> pd.DataFrame:
@@ -1140,7 +1147,7 @@ def _exact_sum(a: np.ndarray, chunk: int = 32768) -> int:
 
 
 def lineitem_corr(sf_dir: str) -> pd.DataFrame:
-    li = table(sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice"])
+    li = _ctable(sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice"])
 
     def partial(b: pa.Table) -> pa.Table:
         qc = _cents(b["l_quantity"].to_numpy(zero_copy_only=False))
@@ -1196,7 +1203,7 @@ FROM m
 
 
 def lineitem_price_median(sf_dir: str) -> pd.DataFrame:
-    li = table(sf_dir, "lineitem", columns=["l_extendedprice"])
+    li = _ctable(sf_dir, "lineitem", columns=["l_extendedprice"])
     shift = 16
 
     def coarse_hist(b: pa.Table) -> pa.Table:
@@ -1257,7 +1264,7 @@ _US_PER_DAY = 86_400_000_000
 
 
 def events_daily_pivot(sf_dir: str) -> pd.DataFrame:
-    ev = table(sf_dir, "events", columns=["event_type", "ts"])
+    ev = _ctable(sf_dir, "events", columns=["event_type", "ts"])
 
     def partial(b: pa.Table) -> pa.Table:
         us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
@@ -1299,7 +1306,7 @@ FROM events GROUP BY 1 ORDER BY 1
 def events_user_distinct(sf_dir: str) -> pd.DataFrame:
     from tag_ray.functions.grouping import coarse_bucket_apply
 
-    ev = table(sf_dir, "events", columns=["event_type", "user_id"])
+    ev = _ctable(sf_dir, "events", columns=["event_type", "user_id"])
 
     def batch_partial(b: pa.Table) -> pa.Table:
         df = pd.DataFrame({
@@ -1339,7 +1346,7 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 
 def events_running_totals(sf_dir: str) -> pd.DataFrame:
-    ev = table(sf_dir, "events", columns=["ts", "value"])
+    ev = _ctable(sf_dir, "events", columns=["ts", "value"])
 
     def partial(b: pa.Table) -> pa.Table:
         us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
@@ -1388,7 +1395,7 @@ def events_errors_after_purchase(sf_dir: str,
     from tag_ray.functions.grouping import coarse_bucket_apply
 
     win_us = window_hours * _US_PER_HOUR
-    ev = table(sf_dir, "events", columns=["event_id", "ts", "user_id",
+    ev = _ctable(sf_dir, "events", columns=["event_id", "ts", "user_id",
                                           "event_type"])
 
     def sides(b: pa.Table) -> pa.Table:
@@ -1445,7 +1452,7 @@ GROUP BY p.event_id
 def events_user_top_type(sf_dir: str) -> rd.Dataset:
     from tag_ray.functions.grouping import coarse_bucket_apply
 
-    ev = table(sf_dir, "events", columns=["user_id", "event_type"])
+    ev = _ctable(sf_dir, "events", columns=["user_id", "event_type"])
 
     def batch_partial(b: pa.Table) -> pa.Table:
         df = pd.DataFrame({
@@ -1496,7 +1503,7 @@ SELECT user_id, event_type AS top_type, n FROM (
 def orders_price_ntile(sf_dir: str, k: int = 4) -> rd.Dataset:
     from tag_ray.functions.ranking import global_rank, ntile_of
 
-    od = table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    od = _ctable(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
 
     def keyed(b: pa.Table) -> pa.Table:
         return pa.Table.from_pydict({
@@ -1544,7 +1551,7 @@ FROM orders
 def orders_status_agg(sf_dir: str) -> pd.DataFrame:
     from tag_ray.functions.grouping import grouped_aggregate
 
-    orders = table(sf_dir, "orders",
+    orders = _ctable(sf_dir, "orders",
                    columns=["o_orderpriority", "o_orderstatus"])
     pairs = grouped_aggregate(
         orders, ["o_orderpriority", "o_orderstatus"],
@@ -1588,9 +1595,9 @@ def party_activity_full(sf_dir: str) -> rd.Dataset:
                                 np.zeros(n)).astype(np.int64))})
         return fn
 
-    ev = table(sf_dir, "events", columns=["user_id"]).map_batches(
+    ev = _ctable(sf_dir, "events", columns=["user_id"]).map_batches(
         partial("user_id", 0), batch_format="pyarrow")
-    od = table(sf_dir, "orders", columns=["o_custkey"]).map_batches(
+    od = _ctable(sf_dir, "orders", columns=["o_custkey"]).map_batches(
         partial("o_custkey", 1), batch_format="pyarrow")
 
     def bucket_join(g: pd.DataFrame) -> pd.DataFrame:
@@ -1630,7 +1637,7 @@ def lineitem_open_orders(sf_dir: str) -> pd.DataFrame:
 
     # materialized once: build_bloom fully consumes it and keys_tagged
     # re-reads it — without this the orders scan + filter runs twice
-    open_keys = table(sf_dir, "orders",
+    open_keys = _ctable(sf_dir, "orders",
                       columns=["o_orderkey", "o_orderstatus"]).map_batches(
         lambda b: b.filter(pc.equal(b["o_orderstatus"], "O"))
                    .select(["o_orderkey"]),
@@ -1647,7 +1654,7 @@ def lineitem_open_orders(sf_dir: str) -> pd.DataFrame:
                 b["l_extendedprice"].to_numpy(zero_copy_only=False)[keep])),
             "is_key": pa.array(np.zeros(int(keep.sum()), np.int8))})
 
-    survivors = table(sf_dir, "lineitem",
+    survivors = _ctable(sf_dir, "lineitem",
                       columns=["l_orderkey", "l_extendedprice"]).map_batches(
         prefilter, batch_format="pyarrow")
     keys_tagged = open_keys.map_batches(
@@ -1691,7 +1698,7 @@ WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O')
 def big_quantity_orders(sf_dir: str, min_qty: int = 180) -> rd.Dataset:
     from tag_ray.functions.grouping import coarse_bucket_apply, grouped_aggregate
 
-    li = table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    li = _ctable(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
     qty = grouped_aggregate(li, ["l_orderkey"],
                             {"sum_qty": ("l_quantity", "sum")})
     big = qty.map_batches(
@@ -1715,7 +1722,7 @@ def big_quantity_orders(sf_dir: str, min_qty: int = 180) -> rd.Dataset:
                 b["o_totalprice"].to_numpy(zero_copy_only=False))),
             "side": pa.array(np.zeros(b.num_rows, np.int8))})
 
-    orders = table(sf_dir, "orders",
+    orders = _ctable(sf_dir, "orders",
                    columns=["o_orderkey", "o_custkey", "o_totalprice"]) \
         .map_batches(tag_orders, batch_format="pyarrow")
 
@@ -1764,7 +1771,7 @@ FROM orders JOIN (
 def orders_rank_in_customer(sf_dir: str) -> rd.Dataset:
     from tag_ray.functions.grouping import coarse_bucket_apply
 
-    od = table(sf_dir, "orders",
+    od = _ctable(sf_dir, "orders",
                columns=["o_orderkey", "o_custkey", "o_orderdate"])
 
     def derive(b: pa.Table) -> pa.Table:
@@ -1821,9 +1828,9 @@ def _party_key_sets(sf_dir: str, want: str) -> rd.Dataset:
                 "side": pa.array(np.full(len(u), bit, np.int8))})
         return fn
 
-    cust = table(sf_dir, "customer", columns=["c_custkey"]).map_batches(
+    cust = _ctable(sf_dir, "customer", columns=["c_custkey"]).map_batches(
         tagged("c_custkey", 1), batch_format="pyarrow")
-    ev = table(sf_dir, "events", columns=["user_id"]).map_batches(
+    ev = _ctable(sf_dir, "events", columns=["user_id"]).map_batches(
         tagged("user_id", 2), batch_format="pyarrow")
 
     def bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -1887,7 +1894,7 @@ SELECT user_id FROM events
 
 
 def orders_above_avg(sf_dir: str) -> rd.Dataset:
-    od = table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    od = _ctable(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
 
     def cents_partial(b: pa.Table) -> pa.Table:
         c = _cents(b["o_totalprice"].to_numpy(zero_copy_only=False))
