@@ -18,7 +18,16 @@ import ray.data as rd
 from ray.data.aggregate import Count, Mean
 
 from tag_ray.functions.rounding import round_half_away
-from tag_ray.sources import table
+from tag_ray.sources import combine_num_blocks, table
+
+
+def _ctable(sf_dir: str, name: str, columns: list | None = None):
+    """Capped read (~CPUs/2 blocks, byte-floored): the per-batch
+    matmul/partial kernels here are cheap at any one block, and the
+    fat embedding column hits the byte floor early at real scale."""
+    return table(sf_dir, name, columns=columns,
+                 num_blocks=combine_num_blocks(sf_dir, name))
+
 
 
 def _emb_matrix(b: pa.Table) -> np.ndarray:
@@ -32,7 +41,7 @@ def _emb_matrix(b: pa.Table) -> np.ndarray:
 
 
 def emb_norms(sf_dir: str) -> rd.Dataset:
-    emb = table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    emb = _ctable(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     def derive(b: pa.Table) -> pa.Table:
         m = _emb_matrix(b)
@@ -52,7 +61,7 @@ FROM embeddings
 
 
 def emb_label_stats(sf_dir: str) -> rd.Dataset:
-    emb = table(sf_dir, "embeddings", columns=["label", "embedding"])
+    emb = _ctable(sf_dir, "embeddings", columns=["label", "embedding"])
 
     def derive(b: pa.Table) -> pa.Table:
         m = _emb_matrix(b)
@@ -125,7 +134,7 @@ def emb_cosine_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> pd.DataF
     q = _fetch_query_vec(sf_dir, query_vec_id)
     handle = ray.put(q)
 
-    emb = table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    emb = _ctable(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     exclude = query_vec_id
 
@@ -199,7 +208,7 @@ def emb_ivf_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10,
     handle = ray.put((cents, q, probe))
     exclude = query_vec_id
 
-    emb = table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    emb = _ctable(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     def probe_score(b: pa.Table) -> pa.Table:
         # plain task (see emb_cosine_topk); probe membership via np.isin,
@@ -258,7 +267,7 @@ def emb_kmeans(sf_dir: str, n_clusters: int = 8, iters: int = 5,
     sample = _emb_matrix(_read_first_rows(sf_dir, train_sample))
     cents = _train_centroids(sample, n_clusters).astype(np.float64)
 
-    emb = table(sf_dir, "embeddings", columns=["embedding"])
+    emb = _ctable(sf_dir, "embeddings", columns=["embedding"])
 
     def make_partial(handle):
         def partial(b: pa.Table) -> pa.Table:
@@ -321,7 +330,7 @@ def emb_kmeans(sf_dir: str, n_clusters: int = 8, iters: int = 5,
 def emb_label_centroid(sf_dir: str) -> pd.DataFrame:
     from tag_ray.functions.grouping import grouped_aggregate
 
-    emb = table(sf_dir, "embeddings", columns=["label", "embedding"])
+    emb = _ctable(sf_dir, "embeddings", columns=["label", "embedding"])
 
     def partial(b: pa.Table) -> pa.Table:
         m = _emb_matrix(b).astype(np.float64)
@@ -391,7 +400,7 @@ def emb_knn_classify(sf_dir: str, query_mod: int = 50, k: int = 10) -> pd.DataFr
     qn = np.sqrt((Q * Q).sum(axis=1))
     handle = ray.put((q_ids, Q, np.where(qn == 0, 1.0, qn)))
 
-    emb = table(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    emb = _ctable(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
 
     def partial(b: pa.Table) -> pa.Table:
         qi, qm, qnorm = ray.get(handle)

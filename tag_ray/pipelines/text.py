@@ -19,11 +19,20 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from tag_ray.functions.rounding import round_half_away
-from tag_ray.sources import table
+from tag_ray.sources import combine_num_blocks, table
+
+
+def _ctable(sf_dir: str, name: str, columns: list | None = None):
+    """Capped read for cheap-UDF consumers (~CPUs/2 blocks, byte-floored
+    — see sources.combine_num_blocks). Compute-heavy stages (winnowing,
+    heavy-hitter sketching, contamination) keep the default split: their
+    per-block UDF amortizes handoffs and wants full-width parallelism."""
+    return table(sf_dir, name, columns=columns,
+                 num_blocks=combine_num_blocks(sf_dir, name))
 
 
 def doc_lang_counts(sf_dir: str) -> rd.Dataset:
-    return (table(sf_dir, "documents", columns=["lang"])
+    return (_ctable(sf_dir, "documents", columns=["lang"])
             .groupby("lang").aggregate(Count(alias_name="n")))
 
 
@@ -31,7 +40,7 @@ LANG_COUNTS_SQL = "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang"
 
 
 def doc_token_stats(sf_dir: str) -> rd.Dataset:
-    docs = table(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+    docs = _ctable(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
 
     def derive(b: pa.Table) -> pa.Table:
         texts = b["text"].to_pylist()
@@ -67,7 +76,7 @@ def doc_sample_hash(sf_dir: str, hex_below: str = "1a") -> rd.Dataset:
     is also what makes it oracle-checkable. Embarrassingly parallel
     (pure map_batches filter, no shuffle)."""
 
-    docs = table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    docs = _ctable(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
 
     def pick(b: pa.Table) -> pa.Table:
         keys = [hashlib.md5(str(d).encode()).hexdigest()[:2]
@@ -87,7 +96,7 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
 def doc_fingerprint(sf_dir: str) -> rd.Dataset:
     """Per-row content fingerprint (md5) — the analogue of the reference's
     metadata-invariant checksum printed per file (cmd/sum/main.go:36)."""
-    docs = table(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = _ctable(sf_dir, "documents", columns=["doc_id", "text"])
 
     def derive(b: pa.Table) -> pa.Table:
         fps = [hashlib.md5(t.encode()).hexdigest() for t in b["text"].to_pylist()]
@@ -104,7 +113,7 @@ def doc_word_topk(sf_dir: str, k: int = 20) -> pd.DataFrame:
     """Global word frequency top-k: flat-map explode → pre-aggregated counts
     per batch → small groupby merge → sort/limit. The per-batch partial
     aggregation keeps the shuffle at vocabulary size, not corpus size."""
-    docs = table(sf_dir, "documents", columns=["text"])
+    docs = _ctable(sf_dir, "documents", columns=["text"])
 
     def partial_counts(b: pa.Table) -> pa.Table:
         from collections import Counter
@@ -136,7 +145,7 @@ GROUP BY word ORDER BY n DESC, word LIMIT 20
 
 def doc_lang_quality(sf_dir: str) -> rd.Dataset:
     """Per-language length/quality profile (grouped aggregate)."""
-    docs = table(sf_dir, "documents", columns=["lang", "n_chars"])
+    docs = _ctable(sf_dir, "documents", columns=["lang", "n_chars"])
     agg = docs.groupby("lang").aggregate(
         Count(alias_name="n"),
         Mean("n_chars", alias_name="avg_chars_raw"),
@@ -179,7 +188,7 @@ def doc_langid_heuristic(sf_dir: str) -> rd.Dataset:
     """Stopword-marker language scorer → (doc_id, lang, lang_detected,
     agree). Over synthetic word-soup text the detector mostly abstains
     ('und' = undetermined) — the point is the stage shape, not accuracy."""
-    docs = table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    docs = _ctable(sf_dir, "documents", columns=["doc_id", "text", "lang"])
 
     def detect(b: pa.Table) -> pa.Table:
         out = []
@@ -216,7 +225,7 @@ def doc_token_counts_regex(sf_dir: str) -> rd.Dataset:
     from. Compiled once per actor; vectorized only per-row (regex)."""
     import re
 
-    docs = table(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = _ctable(sf_dir, "documents", columns=["doc_id", "text"])
 
     def tokenize(b: pa.Table) -> pa.Table:
         # plain task: re.compile hits the re module's pattern cache on
@@ -364,7 +373,7 @@ def doc_split_assign(sf_dir: str) -> rd.Dataset:
     with per-(lang, split) counts as the stratification audit. Stable
     across runs and engines — the split a resumable training pipeline
     needs (same md5-prefix device as doc_sample_hash)."""
-    docs = table(sf_dir, "documents", columns=["doc_id", "lang"])
+    docs = _ctable(sf_dir, "documents", columns=["doc_id", "lang"])
 
     def assign(b: pa.Table) -> pa.Table:
         hexes = [hashlib.md5(str(d).encode()).hexdigest()[:2]
@@ -398,7 +407,7 @@ def doc_null_report(sf_dir: str) -> rd.Dataset:
     partial counts → single global merge (no wide shuffle)."""
     import pyarrow.compute as pc
 
-    docs = table(sf_dir, "documents")
+    docs = _ctable(sf_dir, "documents")
 
     def partials(b: pa.Table) -> pa.Table:
         row = {"rows": [b.num_rows]}
@@ -457,7 +466,7 @@ def quality_stats(texts: list) -> tuple[np.ndarray, np.ndarray]:
 
 def doc_quality_filter_apply(sf_dir: str, min_words: int = 5,
                              min_alpha_frac: float = 0.5) -> rd.Dataset:
-    docs = table(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = _ctable(sf_dir, "documents", columns=["doc_id", "text"])
 
     def gate(b: pa.Table) -> pa.Table:
         n_words, alpha_frac = quality_stats(b["text"].to_pylist())
@@ -557,7 +566,7 @@ def _attach_term_stat(tf: rd.Dataset, stat: rd.Dataset,
 def doc_tfidf_topk(sf_dir: str, k: int = 5) -> rd.Dataset:
     from tag_ray.functions.grouping import coarse_bucket_apply, grouped_aggregate
 
-    docs = table(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = _ctable(sf_dir, "documents", columns=["doc_id", "text"])
     n_docs = float(docs.count())  # metadata-only count
 
     # (doc, term) rows are consumed twice (df aggregate + join-back);
@@ -620,7 +629,7 @@ SELECT doc_id, term, tf, tfidf, rk FROM (
 def doc_mean_term_freq(sf_dir: str) -> rd.Dataset:
     from tag_ray.functions.grouping import coarse_bucket_apply, grouped_aggregate
 
-    docs = table(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = _ctable(sf_dir, "documents", columns=["doc_id", "text"])
     tf = docs.map_batches(_tf_rows_fn(), batch_format="pyarrow").materialize()
     tc = grouped_aggregate(tf, ["term"], {"tc": ("tf", "sum")})
     joined = _attach_term_stat(tf, tc, "tc")
@@ -662,7 +671,7 @@ GROUP BY tf.doc_id
 
 
 def doc_unique_words(sf_dir: str) -> rd.Dataset:
-    docs = table(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = _ctable(sf_dir, "documents", columns=["doc_id", "text"])
 
     def per_batch(b: pa.Table) -> pa.Table:
         return pa.Table.from_pydict({
@@ -694,7 +703,7 @@ FROM documents
 def docs_cube(sf_dir: str) -> pd.DataFrame:
     from tag_ray.functions.grouping import grouped_aggregate
 
-    docs = table(sf_dir, "documents", columns=["lang", "source", "n_chars"])
+    docs = _ctable(sf_dir, "documents", columns=["lang", "source", "n_chars"])
     fine = grouped_aggregate(
         docs, ["lang", "source"],
         {"n": (None, "count"), "chars": ("n_chars", "sum")}).to_pandas()
@@ -796,7 +805,7 @@ def doc_word_heavy_hitters(sf_dir: str, k: int = 256,
 def doc_source_len_quantiles(sf_dir: str) -> pd.DataFrame:
     from tag_ray.functions.quantiles import grouped_histogram_quantiles
 
-    docs = table(sf_dir, "documents", columns=["source", "n_chars"])
+    docs = _ctable(sf_dir, "documents", columns=["source", "n_chars"])
     out = grouped_histogram_quantiles(
         docs, "source", "n_chars", {"p50": 0.50, "p90": 0.90})
     return out[["source", "n", "p50", "p90"]]
@@ -820,7 +829,7 @@ _REDACT_RE = None
 
 
 def doc_redact_numbers(sf_dir: str) -> rd.Dataset:
-    docs = table(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = _ctable(sf_dir, "documents", columns=["doc_id", "text"])
 
     def redact(b: pa.Table) -> pa.Table:
         import re
@@ -895,7 +904,7 @@ def contamination_from(docs: rd.Dataset, eval_mod: int = 20,
 
 
 def doc_repetition_stats(sf_dir: str) -> rd.Dataset:
-    docs = table(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = _ctable(sf_dir, "documents", columns=["doc_id", "text"])
     return docs.map_batches(repetition_batch, batch_format="pandas")
 
 
