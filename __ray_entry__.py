@@ -187,6 +187,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_stats": T.doc_token_stats,
         "doc_fingerprint": T.doc_fingerprint,
         "doc_repetition_stats": T.doc_repetition_stats,
+        "doc_pack_assign": T.doc_pack_assign,
+        "doc_stratified_sample": T.doc_stratified_sample,
         # --- (3) no-oracle (rows-only) entries ---
         "img_validate": img_validate,
         "img_partition_status": img_partition_status,
@@ -284,4 +286,6 @@ def oracle_sql() -> dict[str, str]:
         "emb_label_stats": E.LABEL_STATS_SQL,
         "emb_cosine_topk": E.cosine_topk_sql(),
         "doc_repetition_stats": T.REPETITION_SQL,
+        "doc_pack_assign": T.pack_assign_sql(),
+        "doc_stratified_sample": T.stratified_sample_sql(),
     }

@@ -50,20 +50,13 @@ _RBKT = "_rbkt"
 _MAX_SAMPLE = 1 << 17
 
 
-def global_rank(ds: rd.Dataset, key_col: str, tie_col: str,
-                out_col: str = "rank",
-                num_buckets: int | None = None) -> tuple[rd.Dataset, int]:
-    """Attach an exact 0-based global rank by ``ORDER BY (key, tie)``.
-
-    ``key_col`` must be an integer-comparable column (route money
-    through integer cents as everywhere else); ``tie_col`` must be a
-    unique integer id so the order — and therefore every rank — is
-    total and deterministic. Returns ``(ranked_dataset, total_rows)``;
-    the input should already be projected to the columns the caller
-    needs (the sample pass re-executes the upstream read).
-    """
-    buckets = num_buckets or default_num_buckets(factor=4)
-
+def _range_bucketed(ds: rd.Dataset, key_col: str,
+                    buckets: int) -> tuple[rd.Dataset | None, np.ndarray]:
+    """Steps 1–2 of the range-partitioned sort, shared by the
+    order-dependent scans (`global_rank`, `global_running_sum`):
+    bounded driver pivot sample → cut points → per-batch bucket assign,
+    materialized once. Returns ``(bucketed, cuts)``; ``bucketed is
+    None`` means the input was empty."""
     # 1. driver-side cut points from a bounded per-block sample, merged
     # under the _MAX_SAMPLE doubling-decimation cap (driver stays O(cap)
     # at any block count)
@@ -83,10 +76,7 @@ def global_rank(ds: rd.Dataset, key_col: str, tie_col: str,
             level += 1
     sample = np.sort(buf)
     if sample.size == 0:
-        return ds.map_batches(
-            lambda b: b.append_column(out_col, pa.array(
-                np.empty(0, np.int64))[:b.num_rows]),
-            batch_format="pyarrow"), 0
+        return None, sample
     cut_idx = (np.arange(1, buckets) * sample.size) // buckets
     cuts = np.unique(sample[cut_idx])  # equal keys collapse → same bucket
 
@@ -99,7 +89,28 @@ def global_rank(ds: rd.Dataset, key_col: str, tie_col: str,
     # materialize once: both the count pass and the rank pass consume
     # this skinny keyed table — without it the upstream read + key map
     # would execute twice more on top of the sample pass
-    bucketed = ds.map_batches(assign, batch_format="pyarrow").materialize()
+    return ds.map_batches(assign, batch_format="pyarrow").materialize(), cuts
+
+
+def global_rank(ds: rd.Dataset, key_col: str, tie_col: str,
+                out_col: str = "rank",
+                num_buckets: int | None = None) -> tuple[rd.Dataset, int]:
+    """Attach an exact 0-based global rank by ``ORDER BY (key, tie)``.
+
+    ``key_col`` must be an integer-comparable column (route money
+    through integer cents as everywhere else); ``tie_col`` must be a
+    unique integer id so the order — and therefore every rank — is
+    total and deterministic. Returns ``(ranked_dataset, total_rows)``;
+    the input should already be projected to the columns the caller
+    needs (the sample pass re-executes the upstream read).
+    """
+    buckets = num_buckets or default_num_buckets(factor=4)
+    bucketed, cuts = _range_bucketed(ds, key_col, buckets)
+    if bucketed is None:
+        return ds.map_batches(
+            lambda b: b.append_column(out_col, pa.array(
+                np.empty(0, np.int64))[:b.num_rows]),
+            batch_format="pyarrow"), 0
 
     # 2. per-bucket counts → prefix offsets (num_buckets ints, driver)
     counts = bucketed.groupby(_RBKT).count().to_pandas()
@@ -124,6 +135,52 @@ def global_rank(ds: rd.Dataset, key_col: str, tie_col: str,
     ranked = bucketed.groupby(_RBKT).map_groups(
         rank_bucket, batch_format="pandas")
     return ranked, n_total
+
+
+def global_running_sum(ds: rd.Dataset, key_col: str, tie_col: str,
+                       val_col: str, out_col: str = "run_sum",
+                       num_buckets: int | None = None) -> rd.Dataset:
+    """Attach the exact EXCLUSIVE prefix sum of ``val_col`` over
+    ``ORDER BY (key, tie)`` — the distributed scan behind sequence
+    packing (`SUM(x) OVER (ORDER BY k) - x` in SQL terms).
+
+    Same shape as `global_rank`: range-bucket by key, one tiny
+    per-bucket SUM aggregate → driver prefix over ``num_buckets``
+    ints, then each co-located bucket lexsorts and emits
+    ``offset[bucket] + local_exclusive_cumsum``. Only the bucket
+    co-location shuffles; ``val_col`` must be integer (route money
+    through cents) so partial sums merge exactly.
+    """
+    buckets = num_buckets or default_num_buckets(factor=4)
+    bucketed, cuts = _range_bucketed(ds, key_col, buckets)
+    if bucketed is None:
+        return ds.map_batches(
+            lambda b: b.append_column(out_col, pa.array(
+                np.empty(0, np.int64))[:b.num_rows]),
+            batch_format="pyarrow")
+
+    # per-bucket value sums → prefix offsets (num_buckets ints, driver)
+    sums = bucketed.groupby(_RBKT).sum(val_col).to_pandas()
+    sums = sums.sort_values(_RBKT)
+    offsets = np.zeros(len(cuts) + 1, dtype=np.int64)
+    np.add.at(offsets, sums[_RBKT].to_numpy(),
+              sums[f"sum({val_col})"].to_numpy().astype(np.int64))
+    offsets = np.r_[0, np.cumsum(offsets)[:-1]]
+    off_list = offsets.tolist()  # tiny; ships by value in the closure
+
+    def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g[_RBKT].iat[0])
+        order = np.lexsort((g[tie_col].to_numpy(), g[key_col].to_numpy()))
+        v = g[val_col].to_numpy()[order].astype(np.int64)
+        excl = np.cumsum(v) - v
+        out = np.empty(len(g), dtype=np.int64)
+        out[order] = off_list[b] + excl
+        g = g.drop(columns=[_RBKT]).copy()
+        g[out_col] = out
+        return g
+
+    return bucketed.groupby(_RBKT).map_groups(
+        scan_bucket, batch_format="pandas")
 
 
 def ntile_of(rank: np.ndarray, n: int, k: int) -> np.ndarray:

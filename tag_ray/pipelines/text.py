@@ -988,3 +988,100 @@ FROM documents d
 LEFT JOIN ta ON d.doc_id = ta.doc_id
 LEFT JOIN ba ON d.doc_id = ba.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# sequence packing: assign documents to fixed token-budget training packs
+# by exact global cumulative token count in doc_id order — the standard
+# "concatenate-and-chunk" packing an LLM pre-training pipeline runs
+# before example construction. The order-dependent scan is the
+# range-partitioned machinery from functions/ranking.py: only a skinny
+# (doc_id, n_tokens) table shuffles, never text.
+
+
+def doc_pack_assign(sf_dir: str, budget: int = 512) -> rd.Dataset:
+    from tag_ray.functions.ranking import global_running_sum
+
+    docs = _ctable(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def toks(b: pa.Table) -> pa.Table:
+        n = np.fromiter((len(t.strip().split()) for t in b["text"].to_pylist()),
+                        dtype=np.int64, count=b.num_rows)
+        return pa.Table.from_pydict(
+            {"doc_id": b["doc_id"], "n_tokens": pa.array(n)})
+
+    skinny = docs.map_batches(toks, batch_format="pyarrow")
+    scanned = global_running_sum(skinny, "doc_id", "doc_id", "n_tokens",
+                                 out_col="_pre")
+
+    def finish(b: pa.Table) -> pa.Table:
+        pre = b["_pre"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "doc_id": b["doc_id"], "n_tokens": b["n_tokens"],
+            "pack_id": pa.array(pre // budget)})
+
+    return scanned.map_batches(finish, batch_format="pyarrow")
+
+
+def pack_assign_sql(budget: int = 512) -> str:
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+  FROM documents)
+SELECT doc_id, n_tokens,
+       CAST((CAST(SUM(n_tokens) OVER (ORDER BY doc_id) AS BIGINT)
+             - n_tokens) // {budget} AS BIGINT) AS pack_id
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact stratified sampling: the k lexicographically-smallest
+# (md5(doc_id), doc_id) rows per language — a deterministic, engine-
+# independent per-stratum sample for building balanced eval/train
+# subsets. Per-block partial top-k per stratum (bounded langs×k rows
+# per block, zero wide shuffle) → one tiny co-located reduce. Partials
+# are associative, so at extreme block counts the final reduce can be
+# tree-staged; at any realistic stratum count the collected partials
+# are KBs.
+
+
+def doc_stratified_sample(sf_dir: str, k: int = 40) -> rd.Dataset:
+    docs = _ctable(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        df = pd.DataFrame({
+            "doc_id": np.asarray(ids, dtype=np.int64),
+            "lang": b["lang"].to_pandas(),
+            "_hk": [hashlib.md5(str(d).encode()).hexdigest() for d in ids],
+        })
+        df = df.sort_values(["lang", "_hk", "doc_id"])
+        return pa.Table.from_pandas(
+            df.groupby("lang", sort=False, dropna=False).head(k),
+            preserve_index=False)
+
+    def reduce_(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["lang", "_hk", "doc_id"])
+        top = df.groupby("lang", sort=False, dropna=False).head(k).copy()
+        top["rk"] = top.groupby("lang", sort=False, dropna=False) \
+                       .cumcount().astype(np.int64) + 1
+        return top.drop(columns=["_hk"]).reset_index(drop=True)
+
+    # batch_size=None ⇒ whole-block batches; after repartition(1) the
+    # reduce sees every partial in ONE batch (same single-block device
+    # as doc_minhash_candidates below the shuffle cutoff)
+    return (docs.map_batches(partial, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(reduce_, batch_format="pandas", batch_size=None))
+
+
+def stratified_sample_sql(k: int = 40) -> str:
+    return f"""
+SELECT doc_id, lang, rk FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents) WHERE rk <= {k}
+"""
