@@ -140,6 +140,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_split_assign": T.doc_split_assign,
         "doc_null_report": T.doc_null_report,
         "doc_quality_filter": T.doc_quality_filter_apply,
+        # --- (1b) oracle-carrying, ADDED in round 3 (no prior-round row
+        # possible) — inside the window so they get first driver
+        # evidence; the three r02-green entries they displace
+        # (lineitem_corr, lineitem_price_median, events_daily_pivot)
+        # keep their r02 rows ---
+        "doc_repetition_stats": T.doc_repetition_stats,
+        "doc_pack_assign": T.doc_pack_assign,
+        "doc_stratified_sample": T.doc_stratified_sample,
         # --- (2) oracle-carrying, driver-green in r02; changed-this-round
         # first ---
         "top_customers": R.top_customers,
@@ -186,9 +194,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_counts": T.doc_lang_counts,
         "doc_token_stats": T.doc_token_stats,
         "doc_fingerprint": T.doc_fingerprint,
-        "doc_repetition_stats": T.doc_repetition_stats,
-        "doc_pack_assign": T.doc_pack_assign,
-        "doc_stratified_sample": T.doc_stratified_sample,
         # --- (3) no-oracle (rows-only) entries ---
         "img_validate": img_validate,
         "img_partition_status": img_partition_status,
