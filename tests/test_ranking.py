@@ -94,3 +94,39 @@ def test_ntile_matches_duckdb_property():
         assert (got == np.asarray(want)).all(), (n, k)
 
     check()
+
+
+def test_global_running_sum_exact_with_ties(ray_session):
+    """Exclusive prefix sums over ORDER BY (key, tie) must equal the
+    single-process cumsum for every row, under heavy key ties and a
+    forced multi-bucket split (cross-bucket offsets exercised)."""
+    from tag_ray.functions.ranking import global_running_sum
+
+    rng = np.random.default_rng(23)
+    n = 5_000
+    key = rng.integers(0, 40, n).astype(np.int64)
+    tie = rng.permutation(n).astype(np.int64)
+    val = rng.integers(0, 1_000, n).astype(np.int64)
+    ds = rd.from_pandas(pd.DataFrame({"k": key, "id": tie, "v": val})) \
+        .repartition(8)
+    out = global_running_sum(ds, "k", "id", "v", out_col="pre",
+                             num_buckets=16).to_pandas()
+    order = np.lexsort((tie, key))
+    expect = np.empty(n, dtype=np.int64)
+    expect[order] = np.cumsum(val[order]) - val[order]
+    got = out.sort_values("id")["pre"].to_numpy()
+    want = pd.DataFrame({"id": tie, "e": expect}).sort_values("id")["e"].to_numpy()
+    assert (got == want).all()
+    # the final prefix + value reaches the global total exactly
+    assert (out["pre"] + out["v"]).max() == val.sum()
+
+
+def test_global_running_sum_empty(ray_session):
+    from tag_ray.functions.ranking import global_running_sum
+
+    ds = rd.from_pandas(pd.DataFrame(
+        {"k": pd.Series([], dtype="int64"),
+         "id": pd.Series([], dtype="int64"),
+         "v": pd.Series([], dtype="int64")}))
+    out = global_running_sum(ds, "k", "id", "v").to_pandas()
+    assert len(out) == 0
