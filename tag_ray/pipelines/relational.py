@@ -1927,3 +1927,79 @@ WHERE CAST(round(o_totalprice*100) AS BIGINT)
       * (SELECT COUNT(*) FROM orders)
       > (SELECT SUM(CAST(round(o_totalprice*100) AS BIGINT)) FROM orders)
 """
+
+
+# ---------------------------------------------------------------------------
+# ordered conversion funnel (view → click → purchase): how many users
+# reach each stage, where a stage counts only if it happens STRICTLY
+# AFTER the user's entry into the previous one (greedy earliest-entry
+# chain — the standard product-analytics funnel). One coarse-bucket
+# shuffle on user_id co-locates each user's events; inside a bucket the
+# whole chain is three C-level pandas groupby-min / merge / filter
+# passes over ALL users at once — no per-user Python. The exchange
+# carries only (user_id, ts_us int64, stage int8) for the three stage
+# types; per-bucket output is 3 rows, and the final reduce sums a
+# buckets×3 frame on the driver. Timestamps compare as exact integer
+# microseconds, so strict-inequality parity with the SQL oracle is
+# bit-exact.
+
+
+def events_funnel(sf_dir: str) -> pd.DataFrame:
+    from tag_ray.functions.grouping import coarse_bucket_apply
+
+    stages = ("view", "click", "purchase")
+    ev = _ctable(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    stage_arr = pa.array(stages)
+
+    def sides(b: pa.Table) -> pa.Table:
+        code = pc.index_in(b["event_type"], value_set=stage_arr)
+        t = b.filter(pc.is_valid(code))
+        return pa.Table.from_pydict({
+            "user_id": t["user_id"],
+            "ts_us": t["ts"].cast(pa.int64()),
+            "stage": pc.cast(pc.index_in(t["event_type"], value_set=stage_arr),
+                             pa.int8()),
+        })
+
+    def bucket_funnel(g: pd.DataFrame) -> pd.DataFrame:
+        cur = g[g["stage"] == 0].groupby("user_id")["ts_us"].min()
+        counts = [len(cur)]
+        for s in (1, 2):
+            nxt = g[g["stage"] == s][["user_id", "ts_us"]].merge(
+                cur.rename("prev"), left_on="user_id", right_index=True)
+            nxt = nxt[nxt["ts_us"] > nxt["prev"]]
+            cur = nxt.groupby("user_id")["ts_us"].min()
+            counts.append(len(cur))
+        return pd.DataFrame({
+            "stage": list(stages),
+            "stage_idx": np.arange(1, 4, dtype=np.int64),
+            "n_users": np.asarray(counts, np.int64)})
+
+    parts = coarse_bucket_apply(
+        ev.map_batches(sides, batch_format="pyarrow"),
+        ["user_id"], bucket_funnel).to_pandas()
+    if parts.empty:  # no events at all: the oracle still emits 3 zero rows
+        parts = pd.DataFrame({
+            "stage": list(stages),
+            "stage_idx": np.arange(1, 4, dtype=np.int64),
+            "n_users": np.zeros(3, np.int64)})
+    out = (parts.groupby(["stage", "stage_idx"], sort=False)["n_users"]
+           .sum().reset_index())
+    return out.sort_values("stage_idx").reset_index(drop=True)
+
+
+FUNNEL_SQL = """
+WITH v AS (SELECT user_id, MIN(ts) AS t FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+      JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+      JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT * FROM (
+  SELECT 'view' AS stage, CAST(1 AS BIGINT) AS stage_idx,
+         COUNT(*) AS n_users FROM v
+  UNION ALL SELECT 'click', 2, COUNT(*) FROM c
+  UNION ALL SELECT 'purchase', 3, COUNT(*) FROM p)
+"""

@@ -1085,3 +1085,161 @@ SELECT doc_id, lang, rk FROM (
                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
   FROM documents) WHERE rk <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# per-language character-trigram top-k: a char-level corpus profile
+# (language-model n-gram stats, tokenizer-design input). The kernel is
+# fully vectorized: each batch's texts are concatenated into one byte
+# blob, every position's trigram packed into a uint32 via shifts,
+# doc-boundary-crossing positions masked, and (lang, trigram) partials
+# counted with ONE np.unique — no per-document Python. Partials shrink
+# the exchange to distinct (lang, tri) pairs per block (bounded by the
+# trigram space, ~langs x 26^3, regardless of corpus size); the global
+# sum goes through grouped_aggregate (coarse buckets, vectorized), and
+# the per-lang top-k is per-block partial head-k + one tiny co-located
+# reduce — the same zero-wide-shuffle shape as doc_stratified_sample.
+# Parity note: trigrams are BYTE trigrams; identical to DuckDB's
+# char-based substring() on this corpus (ASCII-only — pinned by the
+# oracle compare itself).
+
+
+def doc_char_trigrams_topk(sf_dir: str, k: int = 10) -> rd.Dataset:
+    from tag_ray.functions.grouping import grouped_aggregate
+
+    docs = _ctable(sf_dir, "documents", columns=["text", "lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        langs, lang_idx = np.unique(
+            np.asarray(b["lang"].to_pylist(), dtype=object),
+            return_inverse=True)
+        bts = [t.encode("utf-8") for t in texts]
+        lens = np.fromiter((len(x) for x in bts), np.int64, count=len(bts))
+        total = int(lens.sum())
+        if total < 3:
+            return pa.Table.from_pydict({
+                "lang": pa.array([], pa.string()),
+                "tri": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64())})
+        arr = np.frombuffer(b"".join(bts), np.uint8).astype(np.uint32)
+        code = (arr[:-2] << 16) | (arr[1:-1] << 8) | arr[2:]
+        # positions e-1, e-2 at each doc end span a boundary → mask
+        ends = np.cumsum(lens)
+        valid = np.ones(total, dtype=bool)
+        e1 = ends[lens >= 1] - 1
+        valid[e1[e1 < total - 2]] = False
+        e2 = ends[lens >= 2] - 2
+        valid[e2[e2 < total - 2]] = False
+        valid = valid[:total - 2]
+        # docs shorter than 3 bytes have all their positions masked by
+        # the two rules above (len 1: its only position is e-1 or e-2 of
+        # itself; len 2: both) — no extra handling needed
+        pos_lang = np.repeat(lang_idx.astype(np.int64), lens)[:total - 2]
+        key = (pos_lang[valid] << 24) | code[valid].astype(np.int64)
+        uniq, counts = np.unique(key, return_counts=True)
+        tri_codes = (uniq & 0xFFFFFF).astype(np.uint32)
+        tri_bytes = np.empty((len(uniq), 3), np.uint8)
+        tri_bytes[:, 0] = tri_codes >> 16
+        tri_bytes[:, 1] = (tri_codes >> 8) & 0xFF
+        tri_bytes[:, 2] = tri_codes & 0xFF
+        tris = [bytes(rw).decode("utf-8") for rw in tri_bytes]
+        return pa.Table.from_pydict({
+            "lang": pa.array(langs[uniq >> 24].tolist(), pa.string()),
+            "tri": pa.array(tris, pa.string()),
+            "n": pa.array(counts.astype(np.int64))})
+
+    partials = docs.map_batches(partial, batch_format="pyarrow")
+    totals = grouped_aggregate(partials, ["lang", "tri"],
+                               {"n": ("n", "sum")})
+
+    def head_k(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["lang", "n", "tri"],
+                            ascending=[True, False, True])
+        return df.groupby("lang", sort=False).head(k)
+
+    def reduce_(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["lang", "n", "tri"],
+                            ascending=[True, False, True])
+        top = df.groupby("lang", sort=False).head(k).copy()
+        top["rk"] = top.groupby("lang", sort=False) \
+                       .cumcount().astype(np.int64) + 1
+        return top.reset_index(drop=True)
+
+    return (totals.map_batches(head_k, batch_format="pandas",
+                               batch_size=None)
+            .repartition(1)
+            .map_batches(reduce_, batch_format="pandas", batch_size=None))
+
+
+def char_trigrams_sql(k: int = 10) -> str:
+    return f"""
+WITH g AS (
+  SELECT lang, substring(text, CAST(i AS INT), 3) AS tri
+  FROM (SELECT lang, text,
+               unnest(generate_series(1, length(text) - 2)) AS i
+        FROM documents)
+), c AS (SELECT lang, tri, COUNT(*) AS n FROM g GROUP BY lang, tri)
+SELECT lang, tri, n, rk FROM (
+  SELECT lang, tri, n,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY n DESC, tri) AS rk
+  FROM c) WHERE rk <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-language length-outlier filter: keep documents whose n_chars lies
+# inside the language's [p05, p95] band — the standard "drop truncated
+# and runaway documents" gate of a pretraining pipeline, with the band
+# learned from the corpus itself. Two streaming passes: (1) exact
+# per-lang thresholds via mergeable value histograms (n_chars is a
+# bounded dictionary, so the quantile needs no sort and the driver
+# holds langs x distinct-lengths cells); (2) map-side per-lang
+# bincount partials under the broadcast thresholds (O(#langs) floats —
+# inherently tiny) summed in one final reduce. Threshold comparison is
+# int-vs-float64 and the quantile replicates DuckDB quantile_cont
+# bit-for-bit (functions/quantiles._interp), so the boundary rows match
+# the oracle exactly.
+
+
+def doc_length_outlier_filter(sf_dir: str, lo_p: float = 0.05,
+                              hi_p: float = 0.95) -> pd.DataFrame:
+    from tag_ray.functions.quantiles import grouped_histogram_quantiles
+
+    docs = _ctable(sf_dir, "documents", columns=["lang", "n_chars"])
+    q = grouped_histogram_quantiles(docs, "lang", "n_chars",
+                                    {"lo": lo_p, "hi": hi_p})
+    langs = np.asarray(q["lang"], dtype=object)
+    order = np.argsort(langs)
+    langs_sorted = langs[order]
+    lo = np.asarray(q["lo"], dtype=np.float64)[order]
+    hi = np.asarray(q["hi"], dtype=np.float64)[order]
+
+    def partial(b: pa.Table) -> pa.Table:
+        lg = np.asarray(b["lang"].to_pylist(), dtype=object)
+        n = b["n_chars"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(langs_sorted, lg)
+        keep = (n >= lo[idx]) & (n <= hi[idx])
+        cnt = np.bincount(idx[keep], minlength=len(langs_sorted))
+        return pa.Table.from_pydict({
+            "lang": pa.array(langs_sorted.tolist(), pa.string()),
+            "n_kept": pa.array(cnt.astype(np.int64))})
+
+    parts = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("lang", sort=True)["n_kept"].sum().reset_index()
+    out["lo"] = lo
+    out["hi"] = hi
+    return out[["lang", "lo", "hi", "n_kept"]]
+
+
+def length_outlier_sql(lo_p: float = 0.05, hi_p: float = 0.95) -> str:
+    return f"""
+WITH q AS (SELECT lang, quantile_cont(n_chars, {lo_p}) AS lo,
+                  quantile_cont(n_chars, {hi_p}) AS hi
+           FROM documents GROUP BY lang)
+SELECT q.lang, q.lo, q.hi, COUNT(*) AS n_kept
+FROM documents d JOIN q ON d.lang = q.lang
+WHERE d.n_chars >= q.lo AND d.n_chars <= q.hi
+GROUP BY q.lang, q.lo, q.hi
+"""
