@@ -142,16 +142,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_filter": T.doc_quality_filter_apply,
         # --- (1b) oracle-carrying, ADDED in round 3 (no prior-round row
         # possible) — inside the window so they get first driver
-        # evidence; the six r02-green entries they displace
+        # evidence; the eight r02-green entries they displace
         # (lineitem_corr, lineitem_price_median, events_daily_pivot,
-        # orders_lag_gap, lineitem_quantity_quantiles, cust_order_counts)
-        # keep their r02 rows ---
+        # orders_lag_gap, lineitem_quantity_quantiles, cust_order_counts,
+        # orders_rollup, lineitem_price_histogram) keep their r02 rows ---
         "doc_repetition_stats": T.doc_repetition_stats,
         "doc_pack_assign": T.doc_pack_assign,
         "doc_stratified_sample": T.doc_stratified_sample,
         "doc_char_trigrams_topk": T.doc_char_trigrams_topk,
         "events_funnel": R.events_funnel,
         "doc_length_outlier_filter": T.doc_length_outlier_filter,
+        "events_retention": R.events_retention,
+        "doc_dup_ngram_coverage": T.doc_dup_ngram_coverage,
         # --- (2) oracle-carrying, driver-green in r02; changed-this-round
         # first ---
         "top_customers": R.top_customers,
@@ -300,4 +302,6 @@ def oracle_sql() -> dict[str, str]:
         "doc_char_trigrams_topk": T.char_trigrams_sql(),
         "events_funnel": R.FUNNEL_SQL,
         "doc_length_outlier_filter": T.length_outlier_sql(),
+        "events_retention": R.RETENTION_SQL,
+        "doc_dup_ngram_coverage": T.DUP_NGRAM_SQL,
     }

@@ -2003,3 +2003,64 @@ SELECT * FROM (
   UNION ALL SELECT 'click', 2, COUNT(*) FROM c
   UNION ALL SELECT 'purchase', 3, COUNT(*) FROM p)
 """
+
+
+# ---------------------------------------------------------------------------
+# cohort retention curve: for each day-offset k, how many users were
+# active exactly k days after their own first-active day. The classic
+# activation/retention analytics query. Map side shrinks the exchange
+# to per-batch-distinct (user_id, day) pairs (day = integer
+# days-since-epoch, identical to DATE arithmetic on [us] timestamps);
+# one coarse-bucket shuffle on user_id co-locates each user's days, and
+# the per-bucket kernel is a C-level drop_duplicates + transform(min)
+# + value_counts over ALL users at once. A user's (user, day) pairs map
+# to DISTINCT offsets, so per-bucket row counts ARE distinct-user
+# counts and partials sum exactly; the final reduce is a buckets×
+# offsets frame on the driver (bounded by the corpus's day span).
+
+
+def events_retention(sf_dir: str) -> pd.DataFrame:
+    from tag_ray.functions.grouping import coarse_bucket_apply
+
+    _US_PER_DAY = 86_400_000_000
+    ev = _ctable(sf_dir, "events", columns=["user_id", "ts"])
+
+    def days(b: pa.Table) -> pa.Table:
+        # integer division (ts ≥ epoch, so trunc == floor) — same day
+        # numbering as DATE(date_trunc('day', ts)) with no float in play
+        t = pa.Table.from_pydict({
+            "user_id": b["user_id"],
+            "day": pc.divide(b["ts"].cast(pa.int64()), _US_PER_DAY),
+        })
+        # pre-shrink: batch-level distinct (user, day)
+        df = pd.DataFrame({"user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                           "day": t["day"].to_numpy(zero_copy_only=False)})
+        return pa.Table.from_pandas(
+            df.drop_duplicates(["user_id", "day"]), preserve_index=False)
+
+    def bucket_retention(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day"])
+        cohort = g.groupby("user_id")["day"].transform("min")
+        off = (g["day"] - cohort).value_counts()
+        return pd.DataFrame({
+            "day_offset": off.index.to_numpy(dtype=np.int64),
+            "n_users": off.to_numpy(dtype=np.int64)})
+
+    parts = coarse_bucket_apply(
+        ev.map_batches(days, batch_format="pyarrow"),
+        ["user_id"], bucket_retention).to_pandas()
+    out = (parts.groupby("day_offset", sort=True)["n_users"]
+           .sum().reset_index())
+    return out
+
+
+RETENTION_SQL = """
+WITH ud AS (SELECT DISTINCT user_id,
+                   CAST(date_trunc('day', ts) AS DATE) AS day
+            FROM events),
+c AS (SELECT user_id, MIN(day) AS cohort FROM ud GROUP BY user_id)
+SELECT CAST(ud.day - c.cohort AS BIGINT) AS day_offset,
+       COUNT(*) AS n_users
+FROM ud JOIN c USING (user_id)
+GROUP BY day_offset
+"""

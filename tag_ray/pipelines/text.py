@@ -1243,3 +1243,75 @@ FROM documents d JOIN q ON d.lang = q.lang
 WHERE d.n_chars >= q.lo AND d.n_chars <= q.hi
 GROUP BY q.lang, q.lo, q.hi
 """
+
+
+# ---------------------------------------------------------------------------
+# duplicated-n-gram coverage (RefinedWeb / Gopher-style dup signal):
+# for every document, how many of its word-3-gram POSITIONS are covered
+# by a 3-gram that also appears in at least one OTHER document. High
+# coverage marks boilerplate/templated text that exact- and near-dup
+# passes miss. Two skinny shuffles, both coarse-bucketed: (1) per-doc
+# DISTINCT (ngram, doc_id, multiplicity) rows — the map-side Counter
+# shrinks the exchange from positions to per-doc types — keyed by
+# ngram: each bucket computes df (= group size, rows are per-doc
+# distinct) and folds it into per-doc partials in one C-level pass;
+# (2) grouped_aggregate on doc_id sums the partials. Tokenization is
+# the shared whitespace contract (strip().split() ≡
+# regexp_split_to_array(trim(text),'\s+')); only docs with ≥1 trigram
+# appear (the oracle filters len(ws) >= 3 identically).
+
+
+def doc_dup_ngram_coverage(sf_dir: str) -> rd.Dataset:
+    from tag_ray.functions.grouping import (coarse_bucket_apply,
+                                            grouped_aggregate)
+
+    docs = _ctable(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def ngram_rows(b: pa.Table) -> pa.Table:
+        from collections import Counter
+        ids, ngs, ms = [], [], []
+        for d, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            ws = (t or "").strip().split()
+            c = Counter(" ".join(ws[i:i + 3]) for i in range(len(ws) - 2))
+            ids.extend([d] * len(c))
+            ngs.extend(c.keys())
+            ms.extend(c.values())
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(ids, pa.int64()),
+            "ng": pa.array(ngs, pa.string()),
+            "m": pa.array(ms, pa.int64())})
+
+    rows = docs.map_batches(ngram_rows, batch_format="pyarrow")
+
+    def fold_df(g: pd.DataFrame) -> pd.DataFrame:
+        # rows are per-doc distinct, so df(ng) == group size
+        df = g.groupby("ng", sort=False)["doc_id"].transform("size")
+        m = g["m"].to_numpy()
+        dup_m = np.where(df.to_numpy() >= 2, m, 0)
+        part = g.assign(_m=m, _dup=dup_m).groupby("doc_id", sort=False)[
+            ["_m", "_dup"]].sum().reset_index()
+        return pd.DataFrame({
+            "doc_id": part["doc_id"].to_numpy(dtype=np.int64),
+            "n_ngrams": part["_m"].to_numpy(dtype=np.int64),
+            "n_dup": part["_dup"].to_numpy(dtype=np.int64)})
+
+    partials = coarse_bucket_apply(rows, ["ng"], fold_df)
+    return grouped_aggregate(partials, ["doc_id"],
+                             {"n_ngrams": ("n_ngrams", "sum"),
+                              "n_dup": ("n_dup", "sum")})
+
+
+DUP_NGRAM_SQL = r"""
+WITH w AS (SELECT doc_id,
+                  regexp_split_to_array(trim(text), '\s+') AS ws
+           FROM documents),
+g AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS ng
+      FROM (SELECT doc_id, ws,
+                   unnest(generate_series(1, len(ws) - 2)) AS i
+            FROM w)),
+d AS (SELECT ng, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY ng)
+SELECT g.doc_id, COUNT(*) AS n_ngrams,
+       COUNT(*) FILTER (WHERE d.df >= 2) AS n_dup
+FROM g JOIN d USING (ng)
+GROUP BY g.doc_id
+"""
