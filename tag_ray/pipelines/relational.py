@@ -1965,10 +1965,12 @@ def events_funnel(sf_dir: str) -> pd.DataFrame:
         cur = g[g["stage"] == 0].groupby("user_id")["ts_us"].min()
         counts = [len(cur)]
         for s in (1, 2):
-            nxt = g[g["stage"] == s][["user_id", "ts_us"]].merge(
-                cur.rename("prev"), left_on="user_id", right_index=True)
-            nxt = nxt[nxt["ts_us"] > nxt["prev"]]
-            cur = nxt.groupby("user_id")["ts_us"].min()
+            sub = g[g["stage"] == s]
+            # value-aligned lookup; users with no prior-stage entry map
+            # to NaN and the strict > drops them
+            prev = sub["user_id"].map(cur)
+            sub = sub[sub["ts_us"] > prev]
+            cur = sub.groupby("user_id")["ts_us"].min()
             counts.append(len(cur))
         return pd.DataFrame({
             "stage": list(stages),
