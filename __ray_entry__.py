@@ -218,6 +218,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_lsh_buckets": D.emb_lsh_buckets,
         "emb_lsh_near_pairs": D.emb_lsh_near_pairs,
         "emb_ivf_topk": E.emb_ivf_topk,
+        "emb_pq_encode": E.emb_pq_encode,
+        "emb_ivfpq_topk": E.emb_ivfpq_topk,
         "emb_kmeans": E.emb_kmeans,
         "export_training_set": X.export_training_set_query,
     }

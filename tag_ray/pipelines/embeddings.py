@@ -467,3 +467,151 @@ SELECT q_id, label AS pred_label, votes FROM (
                                ORDER BY votes DESC, label) AS vr
   FROM votes) WHERE vr = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — the memory-bounded ANN path. At 10^12 vectors the full
+# float matrix is ~PBs; product quantization stores 8 BYTES per vector
+# (M=8 subspaces × uint8 code, packed into one int64 like phash64 — a
+# 32× compression of the 64-dim float32 payload) plus a coarse IVF
+# bucket id. The index build (`emb_pq_encode`) is ONE streaming pass —
+# codebooks broadcast once, per-batch work is M small matmuls + an
+# argmin — and the query path (`emb_ivfpq_topk`) scans only codes:
+# ADC lookup tables (M × ks floats) replace every dot product with M
+# table reads, probe-bucket filtering skips (1 - nprobe/n_clusters) of
+# the corpus, and the final top-k re-ranks the tiny ADC candidate set
+# exactly via a row-filtered parquet read of just those vec_ids.
+# Approximate ⇒ no SQL oracle; recall vs the brute-force baseline is
+# pytest-gated (tests/test_ann.py).
+
+
+def _train_pq(sample_normed: np.ndarray, m_sub: int = 8, ks: int = 16,
+              iters: int = 8, seed: int = 11) -> np.ndarray:
+    """Per-subspace k-means codebooks, shape (m_sub, ks, dsub).
+    Training sees a bounded sample (same posture as _train_centroids)."""
+    n, d = sample_normed.shape
+    dsub = d // m_sub
+    rng = np.random.default_rng(seed)
+    books = np.empty((m_sub, ks, dsub), dtype=np.float64)
+    for m in range(m_sub):
+        x = sample_normed[:, m * dsub:(m + 1) * dsub]
+        c = x[rng.choice(n, size=min(ks, n), replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(len(c)):
+                mem = x[assign == j]
+                if len(mem):
+                    c[j] = mem.mean(axis=0)
+        if len(c) < ks:  # degenerate tiny sample: tile to full size
+            c = np.vstack([c] * (ks // len(c) + 1))[:ks]
+        books[m] = c
+    return books
+
+
+def _pq_encode_batch(mn: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Vectorized PQ encode: per subspace, argmin squared distance to
+    the codebook; codes packed little-endian into one int64."""
+    m_sub, ks, dsub = books.shape
+    code64 = np.zeros(len(mn), dtype=np.int64)
+    for m in range(m_sub):
+        x = mn[:, m * dsub:(m + 1) * dsub]
+        cb = books[m]
+        # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row
+        d2 = (cb * cb).sum(axis=1)[None, :] - 2.0 * (x @ cb.T)
+        code64 |= d2.argmin(axis=1).astype(np.int64) << (8 * m)
+    return code64
+
+
+def emb_pq_encode(sf_dir: str, n_clusters: int = 16, m_sub: int = 8,
+                  ks: int = 16, train_sample: int = 4096) -> rd.Dataset:
+    """Compressed-index build: (vec_id, bucket, code64) — at scale this
+    is the persisted artifact every ANN query scans instead of the
+    float table."""
+    sample = _emb_matrix(_read_first_rows(sf_dir, train_sample))
+    norms = np.sqrt((sample * sample).sum(axis=1, keepdims=True))
+    sample = sample / np.where(norms == 0, 1.0, norms)
+    cents = _train_centroids(sample, n_clusters)
+    books = _train_pq(sample, m_sub, ks)
+    handle = ray.put((cents, books))
+
+    emb = _ctable(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def encode(b: pa.Table) -> pa.Table:
+        cts, bks = ray.get(handle)
+        m = _emb_matrix(b)
+        nrm = np.sqrt((m * m).sum(axis=1))
+        mn = m / np.where(nrm == 0, 1.0, nrm)[:, None]
+        return pa.Table.from_pydict({
+            "vec_id": b["vec_id"],
+            "bucket": pa.array((mn @ cts.T).argmax(axis=1).astype(np.int32)),
+            "code64": pa.array(_pq_encode_batch(mn, bks)),
+        })
+
+    return emb.map_batches(encode, batch_format="pyarrow")
+
+
+def emb_ivfpq_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10,
+                   n_clusters: int = 16, nprobe: int = 8,
+                   m_sub: int = 8, ks: int = 16,
+                   train_sample: int = 4096,
+                   rerank: int = 128) -> pd.DataFrame:
+    """ANN top-k over PQ codes: ADC scan → top-`rerank` candidates →
+    exact re-rank of just those ids via a row-filtered read. Inline
+    index build here; at scale `emb_pq_encode`'s output is persisted
+    and this function reads codes only."""
+    import pyarrow.parquet as pq
+
+    from tag_ray.sources import table_path
+
+    sample = _emb_matrix(_read_first_rows(sf_dir, train_sample))
+    norms = np.sqrt((sample * sample).sum(axis=1, keepdims=True))
+    sample = sample / np.where(norms == 0, 1.0, norms)
+    cents = _train_centroids(sample, n_clusters)
+    books = _train_pq(sample, m_sub, ks)
+
+    q = _fetch_query_vec(sf_dir, query_vec_id)
+    probe = np.sort(np.argsort(-(cents @ q))[:nprobe])
+    dsub = books.shape[2]
+    # ADC tables: adc[m, j] = q_sub(m) · books[m, j]
+    adc = np.stack([books[m] @ q[m * dsub:(m + 1) * dsub]
+                    for m in range(m_sub)])
+    handle = ray.put((cents, books, probe, adc))
+    exclude = query_vec_id
+
+    emb = _ctable(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def adc_scan(b: pa.Table) -> pa.Table:
+        cts, bks, pr, tables = ray.get(handle)
+        m = _emb_matrix(b)
+        nrm = np.sqrt((m * m).sum(axis=1))
+        mn = m / np.where(nrm == 0, 1.0, nrm)[:, None]
+        bucket = (mn @ cts.T).argmax(axis=1)
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        keep = np.isin(bucket, pr) & (ids != exclude)
+        code64 = _pq_encode_batch(mn[keep], bks)
+        score = np.zeros(int(keep.sum()), dtype=np.float64)
+        for mm in range(len(tables)):
+            score += tables[mm][(code64 >> (8 * mm)) & 0xFF]
+        order = np.argsort(-score)[:rerank]
+        return pa.Table.from_pydict({
+            "vec_id": pa.array(ids[keep][order]),
+            "adc": pa.array(score[order]),
+        })
+
+    cand = emb.map_batches(adc_scan, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values("adc", ascending=False).head(rerank)
+    cand_ids = cand["vec_id"].to_numpy().tolist()
+    if not cand_ids:
+        return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                             "cos": pd.Series([], dtype="float64")})
+
+    t = pq.read_table(table_path(sf_dir, "embeddings"),
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "in", cand_ids)])
+    m = _emb_matrix(t)
+    nrm = np.sqrt((m * m).sum(axis=1))
+    cos = round_half_away((m / np.where(nrm == 0, 1.0, nrm)[:, None]) @ q, 4)
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -cos))[:k]
+    return pd.DataFrame({"vec_id": ids[order], "cos": cos[order]})
