@@ -2066,3 +2066,67 @@ SELECT CAST(ud.day - c.cohort AS BIGINT) AS day_offset,
 FROM ud JOIN c USING (user_id)
 GROUP BY day_offset
 """
+
+
+# ---------------------------------------------------------------------------
+# event-type transition matrix: counts of CONSECUTIVE (prev → next)
+# event-type pairs within each user's timeline — the first-order Markov
+# / session-flow profile. Order within a user is the deterministic
+# (ts, event_id) total order, so engines can never disagree on what
+# "consecutive" means under timestamp ties. One coarse-bucket shuffle
+# on user_id carrying (user_id, ts_us, event_id, event_type); the
+# per-bucket kernel is one lexsort + shifted compare over ALL users at
+# once (boundaries between users masked), and per-bucket partial
+# (prev, next, n) rows reduce on the driver — output is at most
+# |event types|² rows per bucket regardless of corpus size.
+
+
+def events_transition_matrix(sf_dir: str) -> pd.DataFrame:
+    from tag_ray.functions.grouping import coarse_bucket_apply
+
+    ev = _ctable(sf_dir, "events",
+                 columns=["event_id", "ts", "user_id", "event_type"])
+
+    def skinny(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "user_id": b["user_id"],
+            "ts_us": b["ts"].cast(pa.int64()),
+            "event_id": b["event_id"],
+            "event_type": b["event_type"],
+        })
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g["event_id"].to_numpy(),
+                            g["ts_us"].to_numpy(),
+                            g["user_id"].to_numpy()))
+        uid = g["user_id"].to_numpy()[order]
+        et = g["event_type"].to_numpy()[order]
+        same = uid[1:] == uid[:-1]
+        part = pd.DataFrame({"prev_type": et[:-1][same],
+                             "next_type": et[1:][same]})
+        out = (part.groupby(["prev_type", "next_type"], sort=False)
+               .size().reset_index(name="n"))
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    parts = coarse_bucket_apply(
+        ev.map_batches(skinny, batch_format="pyarrow"),
+        ["user_id"], bucket_pairs).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"prev_type": pd.Series([], dtype=object),
+                             "next_type": pd.Series([], dtype=object),
+                             "n": pd.Series([], dtype="int64")})
+    return (parts.groupby(["prev_type", "next_type"], sort=True)["n"]
+            .sum().reset_index())
+
+
+TRANSITION_SQL = """
+WITH s AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events)
+SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+FROM s WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+"""

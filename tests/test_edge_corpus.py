@@ -125,7 +125,8 @@ def edge_con(edge_dir):
 
 
 NEW_OPS = ["doc_char_trigrams_topk", "doc_length_outlier_filter",
-           "doc_dup_ngram_coverage", "events_funnel", "events_retention"]
+           "doc_dup_ngram_coverage", "events_funnel", "events_retention",
+           "events_transition_matrix"]
 
 
 @pytest.mark.parametrize("name", NEW_OPS)
