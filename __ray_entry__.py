@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention": R.events_retention,
         "doc_dup_ngram_coverage": T.doc_dup_ngram_coverage,
         "events_transition_matrix": R.events_transition_matrix,
+        "q10_returned_revenue": R.q10_returned_revenue,
         # --- (2) oracle-carrying, driver-green in r02; changed-this-round
         # first ---
         "top_customers": R.top_customers,
@@ -308,4 +309,5 @@ def oracle_sql() -> dict[str, str]:
         "events_retention": R.RETENTION_SQL,
         "doc_dup_ngram_coverage": T.DUP_NGRAM_SQL,
         "events_transition_matrix": R.TRANSITION_SQL,
+        "q10_returned_revenue": R.Q10_SQL,
     }

@@ -2130,3 +2130,80 @@ SELECT prev_type, event_type AS next_type, COUNT(*) AS n
 FROM s WHERE prev_type IS NOT NULL
 GROUP BY prev_type, next_type
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 shape — returned-item revenue ranking: which customers
+# generated the most revenue on RETURNED lineitems, labeled with name
+# and nation. The full fact→fact→dimension chain at scale posture:
+# filter + integer-cent map-side combine per batch shrinks lineitem to
+# (orderkey, rev_c) partials; ONE partitioned hash join maps orderkey →
+# custkey; grouped_aggregate (coarse buckets — custkey cardinality is
+# corpus-scale) sums per customer; a distributed sort+limit picks the
+# top k; and only THEN do the k winner keys hit the customer dimension
+# via a row-filtered pruned read (the top_customers pattern — never a
+# full-table driver read), with the 25-row nation table read whole.
+# Money stays integer cents end-to-end (CLAUDE.md invariant).
+
+
+def q10_returned_revenue(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    from tag_ray.functions.grouping import grouped_aggregate
+    from tag_ray.sources import table_path
+
+    li = _ctable(sf_dir, "lineitem",
+                 columns=["l_orderkey", "l_extendedprice", "l_discount",
+                          "l_returnflag"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["l_returnflag"], "R"))
+        rev = _cents(t["l_extendedprice"].to_numpy(zero_copy_only=False)
+                     * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False)))
+        # map-side combine: one C-level groupby per batch
+        part = (pd.DataFrame({
+            "l_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
+            "rev_c": rev}).groupby("l_orderkey", sort=False)["rev_c"]
+            .sum().reset_index())
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    rev = li.map_batches(derive, batch_format="pyarrow")
+    orders = _ctable(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    joined = rev.join(orders, "inner", num_partitions=join_num_partitions(),
+                      on=("l_orderkey",), right_on=("o_orderkey",))
+    per_cust = grouped_aggregate(joined.select_columns(["o_custkey", "rev_c"]),
+                                 ["o_custkey"], {"rev_c": ("rev_c", "sum")})
+    top = (per_cust.sort(["rev_c", "o_custkey"], descending=[True, False])
+           .limit(k).to_pandas())
+    keys = top["o_custkey"].astype("int64").tolist()
+
+    cust = pq.read_table(
+        table_path(sf_dir, "customer"),
+        columns=["c_custkey", "c_name", "c_nationkey"],
+        filters=[("c_custkey", "in", keys)]).to_pandas()
+    nation = pq.read_table(table_path(sf_dir, "nation"),
+                           columns=["n_nationkey", "n_name"]).to_pandas()
+    out = (top.merge(cust, left_on="o_custkey", right_on="c_custkey")
+           .merge(nation, left_on="c_nationkey", right_on="n_nationkey"))
+    out = out.sort_values(["rev_c", "c_custkey"],
+                          ascending=[False, True]).reset_index(drop=True)
+    return pd.DataFrame({
+        "c_custkey": out["c_custkey"].astype("int64"),
+        "c_name": out["c_name"],
+        "n_name": out["n_name"],
+        "revenue": out["rev_c"] / 100.0,
+    })
+
+
+Q10_SQL = """
+SELECT c_custkey, ANY_VALUE(c_name) AS c_name, ANY_VALUE(n_name) AS n_name,
+       SUM(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))/100.0
+         AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey  = o_orderkey
+JOIN customer ON o_custkey   = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
