@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_ngram_coverage": T.doc_dup_ngram_coverage,
         "events_transition_matrix": R.events_transition_matrix,
         "q10_returned_revenue": R.q10_returned_revenue,
+        "q7_nation_volume": R.q7_nation_volume,
         # --- (2) oracle-carrying, driver-green in r02; changed-this-round
         # first ---
         "top_customers": R.top_customers,
@@ -310,4 +311,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_dup_ngram_coverage": T.DUP_NGRAM_SQL,
         "events_transition_matrix": R.TRANSITION_SQL,
         "q10_returned_revenue": R.Q10_SQL,
+        "q7_nation_volume": R.Q7_SQL,
     }

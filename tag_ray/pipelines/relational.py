@@ -2207,3 +2207,132 @@ WHERE l_returnflag = 'R'
 GROUP BY c_custkey
 ORDER BY revenue DESC, c_custkey LIMIT 20
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 shape — nation-pair shipping volume: revenue by (supplier
+# nation, customer nation, ship year). The double-dimension multi-hop:
+# supplier's nation attaches to lineitem via a broadcast sorted-array
+# lookup (supplier is a genuine dimension); the customer's nation
+# attaches to orders the same way UNDER THE BYTE GATE, falling back to
+# a partitioned hash join with the customer Dataset when the key map
+# would not fit a worker (same adaptive rule as q5 /
+# BROADCAST_JOIN_MAX_BYTES); the one unavoidable fact-fact exchange is
+# the lineitem↔orders partitioned join. Each batch pre-combines to
+# (orderkey, supp-nation, year, rev_c) partials before the join and to
+# ≤25·25·years rows after it, so the final reduce is driver-trivial.
+# Money is integer cents end-to-end.
+
+
+def q7_nation_volume(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    from tag_ray.sources import table_path
+
+    nation = pq.read_table(table_path(sf_dir, "nation"),
+                           columns=["n_nationkey", "n_name"]).to_pandas()
+    nkeys = nation["n_nationkey"].to_numpy(dtype=np.int64)
+    norder = np.argsort(nkeys)
+    nkeys_s = nkeys[norder]
+    nnames = nation["n_name"].to_numpy(dtype=object)[norder]
+
+    supp = pq.read_table(table_path(sf_dir, "supplier"),
+                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    skeys = supp["s_suppkey"].to_numpy(dtype=np.int64)
+    sorder = np.argsort(skeys)
+    supp_h = ray.put((skeys[sorder],
+                      supp["s_nationkey"].to_numpy(dtype=np.int32)[sorder]))
+
+    li = _ctable(sf_dir, "lineitem",
+                 columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                          "l_discount", "l_shipdate"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        sk, sn = ray.get(supp_h)
+        rev = _cents(b["l_extendedprice"].to_numpy(zero_copy_only=False)
+                     * (1.0 - b["l_discount"].to_numpy(zero_copy_only=False)))
+        idx = np.searchsorted(sk, b["l_suppkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64))
+        part = (pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].to_numpy(zero_copy_only=False),
+            "sn": sn[idx],
+            "l_year": pc.year(b["l_shipdate"]).to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "rev_c": rev})
+            .groupby(["l_orderkey", "sn", "l_year"], sort=False)["rev_c"]
+            .sum().reset_index())
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    fact = li.map_batches(derive, batch_format="pyarrow")
+
+    n_cust = pq.ParquetFile(table_path(sf_dir, "customer")).metadata.num_rows
+    if n_cust * 16 <= BROADCAST_JOIN_MAX_BYTES:
+        cust = pq.read_table(table_path(sf_dir, "customer"),
+                             columns=["c_custkey", "c_nationkey"]).to_pandas()
+        ck = cust["c_custkey"].to_numpy(dtype=np.int64)
+        co = np.argsort(ck)
+        cust_h = ray.put((ck[co],
+                          cust["c_nationkey"].to_numpy(dtype=np.int32)[co]))
+        orders = _ctable(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+        def attach_cn(b: pa.Table) -> pa.Table:
+            keys, cn = ray.get(cust_h)
+            k = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            idx = np.searchsorted(keys, k)
+            idx = np.minimum(idx, max(len(keys) - 1, 0))
+            hit = (keys[idx] == k) if len(keys) else np.zeros(len(k), bool)
+            return pa.Table.from_pydict({
+                "o_orderkey": b["o_orderkey"].filter(pa.array(hit)),
+                "cn": pa.array(cn[idx[hit]])})
+
+        orders_cn = orders.map_batches(attach_cn, batch_format="pyarrow")
+    else:  # 10^12-row customer table: partitioned join, never a driver read
+        orders = _ctable(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+        cust_ds = _ctable(sf_dir, "customer",
+                          columns=["c_custkey", "c_nationkey"])
+        orders_cn = (orders.join(cust_ds, "inner",
+                                 num_partitions=join_num_partitions(),
+                                 on=("o_custkey",), right_on=("c_custkey",))
+                     .select_columns(["o_orderkey", "c_nationkey"])
+                     .rename_columns({"c_nationkey": "cn"}))
+
+    joined = fact.join(orders_cn, "inner",
+                       num_partitions=join_num_partitions(),
+                       on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def combine(b: pa.Table) -> pa.Table:
+        part = (pd.DataFrame({
+            "sn": b["sn"].to_numpy(zero_copy_only=False),
+            "cn": b["cn"].to_numpy(zero_copy_only=False),
+            "l_year": b["l_year"].to_numpy(zero_copy_only=False),
+            "rev_c": b["rev_c"].to_numpy(zero_copy_only=False)})
+            .groupby(["sn", "cn", "l_year"], sort=False)["rev_c"]
+            .sum().reset_index())
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    parts = joined.map_batches(combine, batch_format="pyarrow").to_pandas()
+    g = (parts.groupby(["sn", "cn", "l_year"], sort=True)["rev_c"]
+         .sum().reset_index())
+    sidx = np.searchsorted(nkeys_s, g["sn"].to_numpy(dtype=np.int64))
+    cidx = np.searchsorted(nkeys_s, g["cn"].to_numpy(dtype=np.int64))
+    return pd.DataFrame({
+        "supp_nation": nnames[sidx],
+        "cust_nation": nnames[cidx],
+        "l_year": g["l_year"].astype("int64"),
+        "revenue": g["rev_c"] / 100.0,
+    })
+
+
+Q7_SQL = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       SUM(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))/100.0
+         AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey   = o_orderkey
+JOIN supplier ON l_suppkey    = s_suppkey
+JOIN customer ON o_custkey    = c_custkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+GROUP BY supp_nation, cust_nation, l_year
+"""

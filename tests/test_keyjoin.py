@@ -126,3 +126,19 @@ def test_referential_queries_distributed_path(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(small["semi"], large["semi"])
     pd.testing.assert_frame_equal(small["apply"], large["apply"])
     assert len(small["semi"]) > 0 and len(small["apply"]) > 0
+
+
+def test_q7_join_fallback_matches_broadcast(ray_session, monkeypatch):
+    """q7's customer-nation attach has two regimes (broadcast lookup vs
+    partitioned hash join). Force the join regime and pin bit-equality
+    with the broadcast regime."""
+    from tag_ray.pipelines import relational as R
+
+    def _s(df):
+        return (df.sort_values(["supp_nation", "cust_nation", "l_year"])
+                .reset_index(drop=True))
+
+    small = R.q7_nation_volume(SF_DIR)
+    monkeypatch.setattr(R, "BROADCAST_JOIN_MAX_BYTES", 0)
+    large = R.q7_nation_volume(SF_DIR)
+    pd.testing.assert_frame_equal(_s(small), _s(large))
