@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_transition_matrix": R.events_transition_matrix,
         "q10_returned_revenue": R.q10_returned_revenue,
         "q7_nation_volume": R.q7_nation_volume,
+        "doc_label_quality": T.doc_label_quality,
         # --- (2) oracle-carrying, driver-green in r02; changed-this-round
         # first ---
         "top_customers": R.top_customers,
@@ -312,4 +313,5 @@ def oracle_sql() -> dict[str, str]:
         "events_transition_matrix": R.TRANSITION_SQL,
         "q10_returned_revenue": R.Q10_SQL,
         "q7_nation_volume": R.Q7_SQL,
+        "doc_label_quality": T.LABEL_QUALITY_SQL,
     }

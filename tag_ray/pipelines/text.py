@@ -1315,3 +1315,67 @@ SELECT g.doc_id, COUNT(*) AS n_ngrams,
 FROM g JOIN d USING (ng)
 GROUP BY g.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# cross-modal label quality: text-quality stats grouped by the
+# EMBEDDING table's cluster label — the "what does each vision/embedding
+# cluster read like" audit that joins the two modalities. Both sides
+# shrink before the one partitioned fact-fact join: documents to
+# (doc_id, n_chars, n_tokens) skinny rows (token counts computed
+# map-side, shared whitespace contract), embeddings to (vec_id, label).
+# The grouped stats are integer sums (n_chars ≤ a few hundred, so every
+# double is exact at any accumulation order) finalized with the pinned
+# half-away rounding.
+
+
+def doc_label_quality(sf_dir: str) -> pd.DataFrame:
+    from tag_ray.config import join_num_partitions
+
+    docs = _ctable(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+
+    def skinny(b: pa.Table) -> pa.Table:
+        n_tokens = np.fromiter(
+            (len(t.strip().split()) for t in b["text"].to_pylist()),
+            dtype=np.int64, count=b.num_rows)
+        return pa.Table.from_pydict({
+            "doc_id": b["doc_id"],
+            "n_chars": b["n_chars"],
+            "n_tokens": pa.array(n_tokens)})
+
+    emb = _ctable(sf_dir, "embeddings", columns=["vec_id", "label"])
+    joined = (docs.map_batches(skinny, batch_format="pyarrow")
+              .join(emb, "inner", num_partitions=join_num_partitions(),
+                    on=("doc_id",), right_on=("vec_id",)))
+
+    def combine(b: pa.Table) -> pa.Table:
+        part = (pd.DataFrame({
+            "label": b["label"].to_pandas(),
+            "n_chars": b["n_chars"].to_numpy(zero_copy_only=False),
+            "n_tokens": b["n_tokens"].to_numpy(zero_copy_only=False)})
+            .groupby("label", sort=False)
+            .agg(n=("n_chars", "size"), sum_chars=("n_chars", "sum"),
+                 sum_tokens=("n_tokens", "sum")).reset_index())
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    parts = joined.map_batches(combine, batch_format="pyarrow").to_pandas()
+    g = (parts.groupby("label", sort=True)
+         .agg(n=("n", "sum"), sum_chars=("sum_chars", "sum"),
+              sum_tokens=("sum_tokens", "sum")).reset_index())
+    n = g["n"].to_numpy(dtype=np.float64)
+    return pd.DataFrame({
+        "label": g["label"],
+        "n": g["n"].astype("int64"),
+        "avg_chars": round_half_away(g["sum_chars"].to_numpy() / n, 4),
+        "avg_tokens": round_half_away(g["sum_tokens"].to_numpy() / n, 4),
+    })
+
+
+LABEL_QUALITY_SQL = r"""
+SELECT label, COUNT(*) AS n,
+       ROUND(AVG(n_chars), 4) AS avg_chars,
+       ROUND(AVG(len(regexp_split_to_array(trim(text), '\s+'))), 4)
+         AS avg_tokens
+FROM documents JOIN embeddings ON doc_id = vec_id
+GROUP BY label
+"""
