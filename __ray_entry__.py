@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q10_returned_revenue": R.q10_returned_revenue,
         "q7_nation_volume": R.q7_nation_volume,
         "doc_label_quality": T.doc_label_quality,
+        "events_value_moving_sum": R.events_value_moving_sum,
         # --- (2) oracle-carrying, driver-green in r02; changed-this-round
         # first ---
         "top_customers": R.top_customers,
@@ -314,4 +315,5 @@ def oracle_sql() -> dict[str, str]:
         "q10_returned_revenue": R.Q10_SQL,
         "q7_nation_volume": R.Q7_SQL,
         "doc_label_quality": T.LABEL_QUALITY_SQL,
+        "events_value_moving_sum": R.moving_sum_sql(),
     }

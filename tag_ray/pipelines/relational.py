@@ -2336,3 +2336,67 @@ JOIN nation sn ON s_nationkey = sn.n_nationkey
 JOIN nation cn ON c_nationkey = cn.n_nationkey
 GROUP BY supp_nation, cust_nation, l_year
 """
+
+
+# ---------------------------------------------------------------------------
+# bounded-frame window: per-user moving sum of the last 3 event values
+# (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) under the deterministic
+# (ts, event_id) order — the time-series smoothing frame none of the
+# other window ops exercise (running_totals is an unbounded cumulative,
+# lag a single offset). One coarse-bucket shuffle on user_id; the
+# per-bucket kernel computes ALL users' frames at once from a cents
+# cumsum (frame sum = cum[i] - cum[i-3], user boundaries clamped by
+# per-row run starts — pure index arithmetic, no per-user Python).
+# Values route through integer cents, so frame sums are
+# association-free and bit-exact vs the oracle's window SUM.
+
+
+def events_value_moving_sum(sf_dir: str, frame: int = 3) -> rd.Dataset:
+    from tag_ray.functions.grouping import coarse_bucket_apply
+
+    ev = _ctable(sf_dir, "events",
+                 columns=["event_id", "ts", "user_id", "value"])
+
+    def skinny(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "user_id": b["user_id"],
+            "ts_us": b["ts"].cast(pa.int64()),
+            "event_id": b["event_id"],
+            "v_c": pa.array(_cents(b["value"].to_numpy(zero_copy_only=False))),
+        })
+
+    def bucket_frames(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g["event_id"].to_numpy(),
+                            g["ts_us"].to_numpy(),
+                            g["user_id"].to_numpy()))
+        uid = g["user_id"].to_numpy()[order]
+        eid = g["event_id"].to_numpy()[order]
+        v = g["v_c"].to_numpy()[order]
+        n = len(v)
+        cum = np.concatenate(([0], np.cumsum(v)))
+        # index of each row's user-run start, then frame start =
+        # max(run_start, i - frame + 1)
+        new_run = np.ones(n, dtype=bool)
+        new_run[1:] = uid[1:] != uid[:-1]
+        run_start = np.maximum.accumulate(
+            np.where(new_run, np.arange(n), 0))
+        lo = np.maximum(run_start, np.arange(n) - (frame - 1))
+        win = cum[np.arange(n) + 1] - cum[lo]
+        return pd.DataFrame({
+            "event_id": eid,
+            "moving_sum": win / 100.0})
+
+    return coarse_bucket_apply(
+        ev.map_batches(skinny, batch_format="pyarrow"),
+        ["user_id"], bucket_frames)
+
+
+def moving_sum_sql(frame: int = 3) -> str:
+    return f"""
+SELECT event_id,
+       SUM(CAST(round(value*100) AS BIGINT))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {frame - 1} PRECEDING AND CURRENT ROW)
+         / 100.0 AS moving_sum
+FROM events
+"""
