@@ -2351,7 +2351,34 @@ GROUP BY supp_nation, cust_nation, l_year
 # association-free and bit-exact vs the oracle's window SUM.
 
 
+def moving_frames_bucket(g: pd.DataFrame, frame: int = 3) -> pd.DataFrame:
+    """All users' bounded-frame sums from one cents cumsum — module-level
+    so the run-start clamp is property-testable against pandas rolling
+    (tests/test_properties.py)."""
+    order = np.lexsort((g["event_id"].to_numpy(),
+                        g["ts_us"].to_numpy(),
+                        g["user_id"].to_numpy()))
+    uid = g["user_id"].to_numpy()[order]
+    eid = g["event_id"].to_numpy()[order]
+    v = g["v_c"].to_numpy()[order]
+    n = len(v)
+    cum = np.concatenate(([0], np.cumsum(v)))
+    # index of each row's user-run start, then frame start =
+    # max(run_start, i - frame + 1)
+    new_run = np.ones(n, dtype=bool)
+    new_run[1:] = uid[1:] != uid[:-1]
+    run_start = np.maximum.accumulate(
+        np.where(new_run, np.arange(n), 0))
+    lo = np.maximum(run_start, np.arange(n) - (frame - 1))
+    win = cum[np.arange(n) + 1] - cum[lo]
+    return pd.DataFrame({
+        "event_id": eid,
+        "moving_sum": win / 100.0})
+
+
 def events_value_moving_sum(sf_dir: str, frame: int = 3) -> rd.Dataset:
+    import functools
+
     from tag_ray.functions.grouping import coarse_bucket_apply
 
     ev = _ctable(sf_dir, "events",
@@ -2365,30 +2392,9 @@ def events_value_moving_sum(sf_dir: str, frame: int = 3) -> rd.Dataset:
             "v_c": pa.array(_cents(b["value"].to_numpy(zero_copy_only=False))),
         })
 
-    def bucket_frames(g: pd.DataFrame) -> pd.DataFrame:
-        order = np.lexsort((g["event_id"].to_numpy(),
-                            g["ts_us"].to_numpy(),
-                            g["user_id"].to_numpy()))
-        uid = g["user_id"].to_numpy()[order]
-        eid = g["event_id"].to_numpy()[order]
-        v = g["v_c"].to_numpy()[order]
-        n = len(v)
-        cum = np.concatenate(([0], np.cumsum(v)))
-        # index of each row's user-run start, then frame start =
-        # max(run_start, i - frame + 1)
-        new_run = np.ones(n, dtype=bool)
-        new_run[1:] = uid[1:] != uid[:-1]
-        run_start = np.maximum.accumulate(
-            np.where(new_run, np.arange(n), 0))
-        lo = np.maximum(run_start, np.arange(n) - (frame - 1))
-        win = cum[np.arange(n) + 1] - cum[lo]
-        return pd.DataFrame({
-            "event_id": eid,
-            "moving_sum": win / 100.0})
-
     return coarse_bucket_apply(
         ev.map_batches(skinny, batch_format="pyarrow"),
-        ["user_id"], bucket_frames)
+        ["user_id"], functools.partial(moving_frames_bucket, frame=frame))
 
 
 def moving_sum_sql(frame: int = 3) -> str:

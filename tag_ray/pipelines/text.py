@@ -1104,52 +1104,56 @@ SELECT doc_id, lang, rk FROM (
 # oracle compare itself).
 
 
+def trigram_counts_batch(b: pa.Table) -> pa.Table:
+    """(lang, tri, n) partial counts for one batch — module-level so the
+    boundary-mask arithmetic is property-testable against brute force
+    (tests/test_properties.py)."""
+    texts = b["text"].to_pylist()
+    langs, lang_idx = np.unique(
+        np.asarray(b["lang"].to_pylist(), dtype=object),
+        return_inverse=True)
+    bts = [t.encode("utf-8") for t in texts]
+    lens = np.fromiter((len(x) for x in bts), np.int64, count=len(bts))
+    total = int(lens.sum())
+    if total < 3:
+        return pa.Table.from_pydict({
+            "lang": pa.array([], pa.string()),
+            "tri": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64())})
+    arr = np.frombuffer(b"".join(bts), np.uint8).astype(np.uint32)
+    code = (arr[:-2] << 16) | (arr[1:-1] << 8) | arr[2:]
+    # positions e-1, e-2 at each doc end span a boundary → mask
+    ends = np.cumsum(lens)
+    valid = np.ones(total, dtype=bool)
+    e1 = ends[lens >= 1] - 1
+    valid[e1[e1 < total - 2]] = False
+    e2 = ends[lens >= 2] - 2
+    valid[e2[e2 < total - 2]] = False
+    valid = valid[:total - 2]
+    # docs shorter than 3 bytes have all their positions masked by
+    # the two rules above (len 1: its only position is e-1 or e-2 of
+    # itself; len 2: both) — no extra handling needed
+    pos_lang = np.repeat(lang_idx.astype(np.int64), lens)[:total - 2]
+    key = (pos_lang[valid] << 24) | code[valid].astype(np.int64)
+    uniq, counts = np.unique(key, return_counts=True)
+    tri_codes = (uniq & 0xFFFFFF).astype(np.uint32)
+    tri_bytes = np.empty((len(uniq), 3), np.uint8)
+    tri_bytes[:, 0] = tri_codes >> 16
+    tri_bytes[:, 1] = (tri_codes >> 8) & 0xFF
+    tri_bytes[:, 2] = tri_codes & 0xFF
+    tris = [bytes(rw).decode("utf-8") for rw in tri_bytes]
+    return pa.Table.from_pydict({
+        "lang": pa.array(langs[uniq >> 24].tolist(), pa.string()),
+        "tri": pa.array(tris, pa.string()),
+        "n": pa.array(counts.astype(np.int64))})
+
+
 def doc_char_trigrams_topk(sf_dir: str, k: int = 10) -> rd.Dataset:
     from tag_ray.functions.grouping import grouped_aggregate
 
     docs = _ctable(sf_dir, "documents", columns=["text", "lang"])
 
-    def partial(b: pa.Table) -> pa.Table:
-        texts = b["text"].to_pylist()
-        langs, lang_idx = np.unique(
-            np.asarray(b["lang"].to_pylist(), dtype=object),
-            return_inverse=True)
-        bts = [t.encode("utf-8") for t in texts]
-        lens = np.fromiter((len(x) for x in bts), np.int64, count=len(bts))
-        total = int(lens.sum())
-        if total < 3:
-            return pa.Table.from_pydict({
-                "lang": pa.array([], pa.string()),
-                "tri": pa.array([], pa.string()),
-                "n": pa.array([], pa.int64())})
-        arr = np.frombuffer(b"".join(bts), np.uint8).astype(np.uint32)
-        code = (arr[:-2] << 16) | (arr[1:-1] << 8) | arr[2:]
-        # positions e-1, e-2 at each doc end span a boundary → mask
-        ends = np.cumsum(lens)
-        valid = np.ones(total, dtype=bool)
-        e1 = ends[lens >= 1] - 1
-        valid[e1[e1 < total - 2]] = False
-        e2 = ends[lens >= 2] - 2
-        valid[e2[e2 < total - 2]] = False
-        valid = valid[:total - 2]
-        # docs shorter than 3 bytes have all their positions masked by
-        # the two rules above (len 1: its only position is e-1 or e-2 of
-        # itself; len 2: both) — no extra handling needed
-        pos_lang = np.repeat(lang_idx.astype(np.int64), lens)[:total - 2]
-        key = (pos_lang[valid] << 24) | code[valid].astype(np.int64)
-        uniq, counts = np.unique(key, return_counts=True)
-        tri_codes = (uniq & 0xFFFFFF).astype(np.uint32)
-        tri_bytes = np.empty((len(uniq), 3), np.uint8)
-        tri_bytes[:, 0] = tri_codes >> 16
-        tri_bytes[:, 1] = (tri_codes >> 8) & 0xFF
-        tri_bytes[:, 2] = tri_codes & 0xFF
-        tris = [bytes(rw).decode("utf-8") for rw in tri_bytes]
-        return pa.Table.from_pydict({
-            "lang": pa.array(langs[uniq >> 24].tolist(), pa.string()),
-            "tri": pa.array(tris, pa.string()),
-            "n": pa.array(counts.astype(np.int64))})
-
-    partials = docs.map_batches(partial, batch_format="pyarrow")
+    partials = docs.map_batches(trigram_counts_batch, batch_format="pyarrow")
     totals = grouped_aggregate(partials, ["lang", "tri"],
                                {"n": ("n", "sum")})
 

@@ -135,3 +135,60 @@ def test_repetition_stats_match_duckdb(seed, n):
            .sort_values("doc_id").reset_index(drop=True))
     con.close()
     pd.testing.assert_frame_equal(eng, ora, check_dtype=True)
+
+
+@settings(max_examples=50, deadline=None)
+@given(texts=st.lists(st.text(alphabet=st.characters(min_codepoint=32,
+                                                     max_codepoint=126),
+                              min_size=0, max_size=12),
+                      min_size=1, max_size=12),
+       langs=st.data())
+def test_trigram_counts_match_bruteforce(texts, langs):
+    """The packed-uint32 trigram kernel's doc-boundary masking must
+    agree with per-string slicing for every corpus shape — empty
+    strings, sub-trigram strings, adjacent docs whose bytes would
+    otherwise fuse across the blob boundary."""
+    import pyarrow as pa
+    from collections import Counter
+
+    from tag_ray.pipelines.text import trigram_counts_batch
+
+    lang_list = [langs.draw(st.sampled_from(["aa", "bb"]))
+                 for _ in texts]
+    b = pa.table({"text": pa.array(texts, pa.string()),
+                  "lang": pa.array(lang_list, pa.string())})
+    got = trigram_counts_batch(b).to_pandas()
+    got_map = {(r.lang, r.tri): r.n for r in got.itertuples()}
+    want = Counter()
+    for t, lg in zip(texts, lang_list):
+        for i in range(len(t) - 2):
+            want[(lg, t[i:i + 3])] += 1
+    assert got_map == dict(want)
+
+
+@settings(max_examples=50, deadline=None)
+@given(n=st.integers(1, 60), frame=st.integers(1, 5),
+       seed=st.integers(0, 2**31 - 1))
+def test_moving_frames_match_pandas_rolling(n, frame, seed):
+    """The cumsum + run-start-clamp frame kernel must equal pandas'
+    per-user rolling sum for every (run shape, frame size)."""
+    import pandas as pd
+
+    from tag_ray.pipelines.relational import moving_frames_bucket
+
+    rng = np.random.default_rng(seed)
+    g = pd.DataFrame({
+        "user_id": rng.integers(0, 5, n),
+        "ts_us": rng.integers(0, 10, n).astype(np.int64),  # force ties
+        "event_id": rng.permutation(n).astype(np.int64),
+        "v_c": rng.integers(-1000, 1000, n).astype(np.int64),
+    })
+    got = (moving_frames_bucket(g, frame=frame)
+           .sort_values("event_id").reset_index(drop=True))
+    ref = g.sort_values(["user_id", "ts_us", "event_id"]).copy()
+    ref["moving_sum"] = (ref.groupby("user_id")["v_c"]
+                         .transform(lambda s: s.rolling(frame, min_periods=1)
+                                    .sum()) / 100.0)
+    ref = ref[["event_id", "moving_sum"]].sort_values(
+        "event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, ref)
