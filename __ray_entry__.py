@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q7_nation_volume": R.q7_nation_volume,
         "doc_label_quality": T.doc_label_quality,
         "events_value_moving_sum": R.events_value_moving_sum,
+        "doc_dedup_keep_best": D.doc_dedup_keep_best,
         # --- (2) oracle-carrying, driver-green in r02; changed-this-round
         # first ---
         "top_customers": R.top_customers,
@@ -316,4 +317,5 @@ def oracle_sql() -> dict[str, str]:
         "q7_nation_volume": R.Q7_SQL,
         "doc_label_quality": T.LABEL_QUALITY_SQL,
         "events_value_moving_sum": R.moving_sum_sql(),
+        "doc_dedup_keep_best": D.DEDUP_KEEP_BEST_SQL,
     }

@@ -911,3 +911,62 @@ def doc_minhash_dedup_apply(sf_dir: str,
     # materialized so the gate's count() is metadata, not a re-execution
     drop = comp.map_batches(nonrep, batch_format="pyarrow").materialize()
     return filter_by_key_set(out_docs, "doc_id", drop, "doc_id", anti=True)
+
+
+# ---------------------------------------------------------------------------
+# canonicalized-dedup APPLY with a QUALITY keep rule: fingerprint the
+# NORMALIZED text (lowercase + whitespace runs collapsed + trim — the
+# CCNet-style canonicalization that merges case/spacing variants exact
+# dedup misses) and per family keep the LONGEST raw document (ties →
+# smallest doc_id). Exact-text dedup makes a length rule vacuous —
+# identical text means identical length — so the quality rule only
+# becomes meaningful on a canonicalized key, where raw lengths differ.
+# Same exchange shape as keep-first ((fingerprint, packed) only, never
+# text); the argmax-with-tiebreak rides the existing "max" aggregate by
+# packing (n_chars, 2^31 - doc_id) into one int64, so no new grouped
+# machinery is needed. Packing bound: doc_id < 2^31 (asserted per
+# batch), n_chars < 2^31. Normalization parity Python-re vs DuckDB
+# regexp_replace(..., 'g') is pinned by the oracle compare itself.
+
+
+def doc_dedup_keep_best(sf_dir: str) -> rd.Dataset:
+    import re
+
+    from tag_ray.functions.grouping import grouped_aggregate
+
+    docs = _ctable(sf_dir, "documents",
+                   columns=["doc_id", "text", "n_chars"])
+    _MAXID = np.int64(1) << 31
+    ws = re.compile(r"\s+")
+
+    def fp(b: pa.Table) -> pa.Table:
+        fps = [hashlib.md5(ws.sub(" ", t.lower()).strip().encode()).hexdigest()
+               for t in b["text"].to_pylist()]
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        nc = b["n_chars"].to_numpy(zero_copy_only=False)
+        assert (ids >= 0).all() and (ids < _MAXID).all(), \
+            "doc_id outside packing range"
+        packed = (nc.astype(np.int64) << 32) + (_MAXID - ids)
+        return pa.Table.from_pydict({
+            "fingerprint": pa.array(fps, pa.string()),
+            "packed": pa.array(packed)})
+
+    best = grouped_aggregate(docs.map_batches(fp, batch_format="pyarrow"),
+                             ["fingerprint"], {"packed": ("packed", "max")})
+
+    def decode(b: pa.Table) -> pa.Table:
+        packed = b["packed"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(_MAXID - (packed & np.int64(0xFFFFFFFF)))})
+
+    return best.map_batches(decode, batch_format="pyarrow")
+
+
+DEDUP_KEEP_BEST_SQL = r"""
+SELECT doc_id FROM (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+           ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents) WHERE rk = 1
+"""

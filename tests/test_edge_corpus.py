@@ -71,6 +71,9 @@ def edge_dir(tmp_path_factory):
         (7, "  padded   spaces  ", "de"),       # trim + \s+ contract
         (8, "hello", "de"),                     # single word
         (9, "p q r s p", "de"),                 # no trigram shared with any doc
+        # 10 normalizes to the same canonical text as 7 ("padded
+        # spaces") but is SHORTER raw — keep-best must keep 7
+        (10, "PADDED SPACES", "de"),
     ]
     docs = pa.table({
         "doc_id": pa.array([t[0] for t in texts], pa.int64()),
@@ -126,7 +129,8 @@ def edge_con(edge_dir):
 
 NEW_OPS = ["doc_char_trigrams_topk", "doc_length_outlier_filter",
            "doc_dup_ngram_coverage", "events_funnel", "events_retention",
-           "events_transition_matrix", "events_value_moving_sum"]
+           "events_transition_matrix", "events_value_moving_sum",
+           "doc_dedup_keep_best"]
 
 
 @pytest.mark.parametrize("name", NEW_OPS)
@@ -163,3 +167,17 @@ def test_dup_ngram_edge_semantics(ray_session, edge_dir):
     assert set(got) == {4, 5, 6, 9}
     assert got[4] == (4, 4) and got[5] == (4, 4)
     assert got[6] == (5, 0) and got[9] == (3, 0)
+
+
+def test_keep_best_edge_semantics(ray_session, edge_dir):
+    """Docs 7 ('  padded   spaces  ', 19 chars) and 10 ('PADDED
+    SPACES', 13 chars) canonicalize identically: keep-best keeps the
+    LONGER raw doc 7. Exact dups 4/5 (equal length) fall to the min-id
+    tiebreak. Everything else survives."""
+    import __ray_entry__ as entrymod
+
+    kept = set(entrymod.queries()["doc_dedup_keep_best"](edge_dir)
+               .to_pandas()["doc_id"])
+    assert 7 in kept and 10 not in kept
+    assert 4 in kept and 5 not in kept
+    assert {1, 2, 3, 6, 8, 9} <= kept
