@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_label_quality": T.doc_label_quality,
         "events_value_moving_sum": R.events_value_moving_sum,
         "doc_dedup_keep_best": D.doc_dedup_keep_best,
+        "doc_vocab_growth": T.doc_vocab_growth,
         # --- (2) oracle-carrying, driver-green in r02; changed-this-round
         # first ---
         "top_customers": R.top_customers,
@@ -318,4 +319,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_label_quality": T.LABEL_QUALITY_SQL,
         "events_value_moving_sum": R.moving_sum_sql(),
         "doc_dedup_keep_best": D.DEDUP_KEEP_BEST_SQL,
+        "doc_vocab_growth": T.VOCAB_GROWTH_SQL,
     }

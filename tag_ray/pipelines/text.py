@@ -1383,3 +1383,58 @@ SELECT label, COUNT(*) AS n,
 FROM documents JOIN embeddings ON doc_id = vec_id
 GROUP BY label
 """
+
+
+# ---------------------------------------------------------------------------
+# vocabulary growth (Heaps-law curve): per document, how many terms the
+# corpus sees for the FIRST time there, plus the running vocabulary
+# size in doc_id order — the diminishing-novelty diagnostic for corpus
+# construction (when the curve flattens, more of the same source buys
+# few new types). Term definition is THE shared [a-z]+ tokenizer
+# (_tf_rows_fn). Scale shape: (doc_id, term) rows → term-keyed
+# grouped_aggregate MIN picks each term's first doc; a second doc-keyed
+# grouped_aggregate counts new terms per doc; the cumulative is the
+# range-partitioned global_running_sum — the output is corpus-sized, so
+# no driver-side cumsum anywhere.
+
+
+def doc_vocab_growth(sf_dir: str) -> rd.Dataset:
+    from tag_ray.functions.grouping import grouped_aggregate
+    from tag_ray.functions.ranking import global_running_sum
+
+    docs = _ctable(sf_dir, "documents", columns=["doc_id", "text"])
+    tf = docs.map_batches(_tf_rows_fn(), batch_format="pyarrow")
+    first = grouped_aggregate(tf.select_columns(["term", "doc_id"]),
+                              ["term"], {"first_doc": ("doc_id", "min")})
+    first_ids = first.map_batches(
+        lambda b: pa.Table.from_pydict(
+            {"doc_id": b["first_doc"].cast(pa.int64())}),
+        batch_format="pyarrow")
+    per_doc = grouped_aggregate(first_ids, ["doc_id"],
+                                {"new_words": (None, "count")})
+    scanned = global_running_sum(per_doc, "doc_id", "doc_id", "new_words",
+                                 out_col="_pre")
+
+    def finish(b: pa.Table) -> pa.Table:
+        pre = b["_pre"].to_numpy(zero_copy_only=False)
+        nw = b["new_words"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "doc_id": b["doc_id"],
+            "new_words": pa.array(nw.astype(np.int64)),
+            "cum_vocab": pa.array((pre + nw).astype(np.int64))})
+
+    return scanned.map_batches(finish, batch_format="pyarrow")
+
+
+VOCAB_GROWTH_SQL = """
+WITH fw AS (
+  SELECT term, MIN(doc_id) AS first_doc
+  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        FROM documents)
+  GROUP BY term
+), nd AS (SELECT first_doc AS doc_id, COUNT(*) AS new_words
+          FROM fw GROUP BY first_doc)
+SELECT doc_id, new_words,
+       CAST(SUM(new_words) OVER (ORDER BY doc_id) AS BIGINT) AS cum_vocab
+FROM nd
+"""
