@@ -161,6 +161,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_moving_sum": R.events_value_moving_sum,
         "doc_dedup_keep_best": D.doc_dedup_keep_best,
         "doc_vocab_growth": T.doc_vocab_growth,
+        "orders_pareto_customers": R.orders_pareto_customers,
+        "events_rolling_active_users": R.events_rolling_active_users,
         # --- (2) oracle-carrying, driver-green in r02; changed-this-round
         # first ---
         "top_customers": R.top_customers,
@@ -320,4 +322,6 @@ def oracle_sql() -> dict[str, str]:
         "events_value_moving_sum": R.moving_sum_sql(),
         "doc_dedup_keep_best": D.DEDUP_KEEP_BEST_SQL,
         "doc_vocab_growth": T.VOCAB_GROWTH_SQL,
+        "orders_pareto_customers": R.PARETO_SQL,
+        "events_rolling_active_users": R.rolling_active_sql(),
     }

@@ -2406,3 +2406,129 @@ SELECT event_id,
          / 100.0 AS moving_sum
 FROM events
 """
+
+
+# ---------------------------------------------------------------------------
+# Pareto revenue concentration: the smallest set of customers (by
+# descending revenue) that covers half of all revenue — the
+# concentration audit behind "how skewed is this corpus/market".
+# Per-customer cents via coarse-bucket sums; the DESCENDING global
+# scan reuses global_running_sum with a negated key (range-bucket by
+# -rev_c, tiebreak custkey); the half-total threshold compares
+# 2·(exclusive prefix) < total in integers, so the crossing customer is
+# decided exactly. Only (custkey, rev_c) ever shuffles and the filter
+# happens inside the dataset — no driver-side scan of the ranking.
+
+
+def orders_pareto_customers(sf_dir: str) -> rd.Dataset:
+    from tag_ray.functions.grouping import grouped_aggregate
+    from tag_ray.functions.ranking import global_running_sum
+
+    orders = _ctable(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        part = (pd.DataFrame({
+            "o_custkey": b["o_custkey"].to_numpy(zero_copy_only=False),
+            "rev_c": _cents(b["o_totalprice"].to_numpy(zero_copy_only=False))})
+            .groupby("o_custkey", sort=False)["rev_c"].sum().reset_index())
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    rev = grouped_aggregate(orders.map_batches(derive, batch_format="pyarrow"),
+                            ["o_custkey"], {"rev_c": ("rev_c", "sum")})
+    rev = rev.materialize()  # consumed twice: scalar total + the scan
+    total = int(rev.sum("rev_c"))
+
+    def neg_key(b: pa.Table) -> pa.Table:
+        r = b["rev_c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_pydict({
+            "o_custkey": b["o_custkey"],
+            "rev_c": pa.array(r),
+            "neg_rev": pa.array(-r)})
+
+    scanned = global_running_sum(rev.map_batches(neg_key,
+                                                 batch_format="pyarrow"),
+                                 "neg_rev", "o_custkey", "rev_c",
+                                 out_col="_pre")
+
+    def finish(b: pa.Table) -> pa.Table:
+        pre = b["_pre"].to_numpy(zero_copy_only=False)
+        r = b["rev_c"].to_numpy(zero_copy_only=False)
+        keep = 2 * pre < total  # exclusive prefix short of half ⇒ needed
+        return pa.Table.from_pydict({
+            "o_custkey": b["o_custkey"].filter(pa.array(keep)),
+            "revenue": pa.array(r[keep] / 100.0),
+            "cum_c": pa.array((pre[keep] + r[keep]).astype(np.int64))})
+
+    return scanned.map_batches(finish, batch_format="pyarrow")
+
+
+PARETO_SQL = """
+WITH r AS (SELECT o_custkey,
+                  SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS rev_c
+           FROM orders GROUP BY o_custkey),
+s AS (SELECT o_custkey, rev_c,
+             CAST(SUM(rev_c) OVER (ORDER BY rev_c DESC, o_custkey)
+                  AS BIGINT) AS cum_c
+      FROM r)
+SELECT o_custkey, rev_c/100.0 AS revenue, cum_c
+FROM s WHERE 2*(cum_c - rev_c) < (SELECT SUM(rev_c) FROM r)
+"""
+
+
+# ---------------------------------------------------------------------------
+# rolling 7-day active users (WAU): for every day, how many users were
+# active at least once in the 7-day window ending that day. Rolling
+# DISTINCT does not decompose into sums, so the exact distributed form
+# explodes each user's distinct activity day into the 7 window days it
+# covers and de-duplicates (user, covered_day) — all inside one
+# user-bucket shuffle of distinct (user, int-day) pairs (map-side
+# pre-shrunk). The per-bucket kernel is one np.unique over packed
+# (user, day) int64 codes; per-bucket (day, n) partials sum exactly
+# because each user lives in one bucket. Day-span bound: day < 2^21
+# (~5.7 kyears of epoch days) for the packing.
+
+
+def events_rolling_active_users(sf_dir: str, window: int = 7) -> pd.DataFrame:
+    from tag_ray.functions.grouping import coarse_bucket_apply
+
+    _US_PER_DAY = 86_400_000_000
+    ev = _ctable(sf_dir, "events", columns=["user_id", "ts"])
+
+    def days(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(zero_copy_only=False),
+            "day": (b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                    // _US_PER_DAY)})
+        return pa.Table.from_pandas(
+            df.drop_duplicates(["user_id", "day"]), preserve_index=False)
+
+    def bucket_cover(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy().astype(np.int64)
+        day = g["day"].to_numpy().astype(np.int64)
+        assert (day >= 0).all() and day.max() < (1 << 21), "day packing bound"
+        cov = (np.repeat(uid, window) << 21) \
+            + (np.repeat(day, window)
+               + np.tile(np.arange(window, dtype=np.int64), len(uid)))
+        cov = np.unique(cov)  # a user covering a day via several
+        # activity days counts once
+        cov_day, n = np.unique(cov & ((1 << 21) - 1), return_counts=True)
+        return pd.DataFrame({"day": cov_day, "wau": n.astype(np.int64)})
+
+    parts = coarse_bucket_apply(
+        ev.map_batches(days, batch_format="pyarrow"),
+        ["user_id"], bucket_cover).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"day": pd.Series([], dtype="int64"),
+                             "wau": pd.Series([], dtype="int64")})
+    return (parts.groupby("day", sort=True)["wau"].sum().reset_index())
+
+
+def rolling_active_sql(window: int = 7) -> str:
+    return f"""
+WITH ud AS (SELECT DISTINCT user_id,
+                   epoch_us(ts) // 86400000000 AS day
+            FROM events),
+off AS (SELECT unnest(generate_series(0, {window - 1})) AS i),
+cov AS (SELECT DISTINCT user_id, day + i AS day FROM ud CROSS JOIN off)
+SELECT day, COUNT(*) AS wau FROM cov GROUP BY day
+"""

@@ -130,7 +130,7 @@ def edge_con(edge_dir):
 NEW_OPS = ["doc_char_trigrams_topk", "doc_length_outlier_filter",
            "doc_dup_ngram_coverage", "events_funnel", "events_retention",
            "events_transition_matrix", "events_value_moving_sum",
-           "doc_dedup_keep_best"]
+           "doc_dedup_keep_best", "events_rolling_active_users"]
 
 
 @pytest.mark.parametrize("name", NEW_OPS)
