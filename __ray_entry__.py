@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_vocab_growth": T.doc_vocab_growth,
         "orders_pareto_customers": R.orders_pareto_customers,
         "events_rolling_active_users": R.events_rolling_active_users,
+        "part_fuzzy_name_pairs": D.part_fuzzy_name_pairs,
         # --- (2) oracle-carrying, driver-green in r02; changed-this-round
         # first ---
         "top_customers": R.top_customers,
@@ -324,4 +325,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_vocab_growth": T.VOCAB_GROWTH_SQL,
         "orders_pareto_customers": R.PARETO_SQL,
         "events_rolling_active_users": R.rolling_active_sql(),
+        "part_fuzzy_name_pairs": D.FUZZY_NAME_SQL,
     }

@@ -970,3 +970,84 @@ SELECT doc_id FROM (
            ORDER BY n_chars DESC, doc_id) AS rk
   FROM documents) WHERE rk = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# exact fuzzy-name join (edit distance = 1) via deletion-neighborhood
+# blocking — a fuzzy join whose RECALL IS PROVABLY EXACT, not
+# probabilistic: any two strings at distance ≤ 1 share a block key
+# (substitution at i ⇒ both i-deletions equal; indel ⇒ the shorter IS a
+# deletion variant of the longer; the name itself is also a key), so
+# blocking misses nothing and the oracle can be full SQL levenshtein.
+# Operates on the DISTINCT value domain (catalog dedup shape — the
+# corpus-sized fact table never enters the pair space): distinct names
+# → each emits itself + its |name| deletion variants → one
+# coarse-bucket shuffle on the variant key → within-bucket pair gen via
+# run_pair_indices + IN-BUCKET distance verification (CLAUDE.md: pair
+# verification never collects to the driver) → cross-key pair dedup via
+# a second grouped pass.
+
+
+def _ed_is_1(a: str, b: str) -> bool:
+    """Exact 'edit distance == 1' decision in O(len)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1 or a == b:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) == 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def part_fuzzy_name_pairs(sf_dir: str) -> rd.Dataset:
+    from tag_ray.functions.grouping import (coarse_bucket_apply,
+                                            grouped_aggregate,
+                                            run_pair_indices)
+
+    parts = _ctable(sf_dir, "part", columns=["p_name"])
+    names = grouped_aggregate(parts, ["p_name"], {"n": (None, "count")})
+
+    def variants(b: pa.Table) -> pa.Table:
+        keys, ns = [], []
+        for name in b["p_name"].to_pylist():
+            keys.append(name)
+            ns.append(name)
+            for i in range(len(name)):
+                keys.append(name[:i] + name[i + 1:])
+                ns.append(name)
+        return pa.Table.from_pydict({
+            "key": pa.array(keys, pa.string()),
+            "name": pa.array(ns, pa.string())})
+
+    tagged = names.map_batches(variants, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["key", "name"], kind="mergesort")
+        key = g["key"].to_numpy()
+        nm = g["name"].to_numpy()
+        ii, jj = run_pair_indices([key])
+        out_a, out_b = [], []
+        for i, j in zip(ii.tolist(), jj.tolist()):
+            a, b = nm[i], nm[j]
+            if a != b and _ed_is_1(a, b):  # verify INSIDE the bucket
+                out_a.append(min(a, b))
+                out_b.append(max(a, b))
+        return pd.DataFrame({"name_a": out_a, "name_b": out_b})
+
+    pairs = coarse_bucket_apply(tagged, ["key"], bucket_pairs)
+    # the same true pair can surface under several variant keys
+    dedup = grouped_aggregate(pairs, ["name_a", "name_b"],
+                              {"hits": (None, "count")})
+    return dedup.select_columns(["name_a", "name_b"])
+
+
+FUZZY_NAME_SQL = """
+WITH n AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_a, b.p_name AS name_b
+FROM n a JOIN n b
+  ON a.p_name < b.p_name AND levenshtein(a.p_name, b.p_name) = 1
+"""

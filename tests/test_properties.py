@@ -192,3 +192,21 @@ def test_moving_frames_match_pandas_rolling(n, frame, seed):
     ref = ref[["event_id", "moving_sum"]].sort_values(
         "event_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, ref)
+
+
+@settings(max_examples=150, deadline=None)
+@given(a=st.text(alphabet="abc", min_size=0, max_size=8),
+       b=st.text(alphabet="abc", min_size=0, max_size=8))
+def test_ed_is_1_matches_dp(a, b):
+    """The O(n) 'edit distance == 1' decision must agree with full DP
+    levenshtein on a tiny alphabet (dense in near-miss pairs)."""
+    from tag_ray.pipelines.dedup import _ed_is_1
+
+    la, lb = len(a), len(b)
+    d = list(range(lb + 1))
+    for i in range(1, la + 1):
+        prev, d[0] = d[0], i
+        for j in range(1, lb + 1):
+            prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1,
+                                   prev + (a[i - 1] != b[j - 1]))
+    assert _ed_is_1(a, b) == (d[lb] == 1)
