@@ -599,8 +599,13 @@ def emb_ivfpq_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10,
             "adc": pa.array(score[order]),
         })
 
-    cand = emb.map_batches(adc_scan, batch_format="pyarrow").to_pandas()
-    cand = cand.sort_values("adc", ascending=False).head(rerank)
+    # distributed candidate cut: the per-block partials union is
+    # blocks×rerank rows — a sort+limit keeps it off the driver (only
+    # `rerank` rows ever land there), unlike a to_pandas merge which
+    # grows with block count (the global_rank lesson, VERDICT r2 #4)
+    cand = (emb.map_batches(adc_scan, batch_format="pyarrow")
+            .sort(["adc", "vec_id"], descending=[True, False])
+            .limit(rerank).to_pandas())
     cand_ids = cand["vec_id"].to_numpy().tolist()
     if not cand_ids:
         return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
