@@ -63,21 +63,36 @@ def read_table(uri: str, columns: list[str] | None = None,
                **kwargs) -> rd.Dataset:
     """Storage-dispatching reader: ``.lance`` datasets go through
     ``ray.data.read_lance`` when the (optional) ``lance`` wheel is
-    present; everything else reads as Parquet. Both paths surface the
-    same Arrow-block Dataset, so pipelines never branch on storage."""
-    if uri.rstrip("/").endswith(".lance"):
+    present; ``.csv`` and ``.json``/``.jsonl`` go through the native
+    Ray readers (CSV pruning pushed into Arrow's convert options, JSON
+    pruned post-read — the format has no column projection); everything
+    else reads as Parquet. All paths surface the same Arrow-block
+    Dataset, so pipelines never branch on storage."""
+    u = uri.rstrip("/")
+    if u.endswith(".lance"):
         try:
             return rd.read_lance(uri, columns=columns, **kwargs)
         except (AttributeError, ImportError) as e:  # no lance offline
             raise RuntimeError(
                 "Lance storage requested but the 'lance' wheel is not "
                 "installed in this environment") from e
+    if u.endswith(".csv"):
+        kw = dict(kwargs)
+        if columns:
+            from pyarrow import csv as pacsv
+            kw.setdefault("convert_options",
+                          pacsv.ConvertOptions(include_columns=columns))
+        return rd.read_csv(uri, **kw)
+    if u.endswith((".json", ".jsonl")):
+        ds = rd.read_json(uri, **kwargs)
+        return ds.select_columns(columns) if columns else ds
     return rd.read_parquet(uri, columns=columns, **kwargs)
 
 
 def write_table(ds: rd.Dataset, uri: str, **kwargs) -> None:
     """Mirror of read_table for sinks (violations, reports, features)."""
-    if uri.rstrip("/").endswith(".lance"):
+    u = uri.rstrip("/")
+    if u.endswith(".lance"):
         try:
             ds.write_lance(uri, **kwargs)
             return
@@ -85,4 +100,10 @@ def write_table(ds: rd.Dataset, uri: str, **kwargs) -> None:
             raise RuntimeError(
                 "Lance storage requested but the 'lance' wheel is not "
                 "installed in this environment") from e
+    if u.endswith(".csv"):
+        ds.write_csv(uri, **kwargs)
+        return
+    if u.endswith((".json", ".jsonl")):
+        ds.write_json(uri, **kwargs)
+        return
     ds.write_parquet(uri, **kwargs)

@@ -112,3 +112,27 @@ def test_combine_num_blocks_byte_floor():
         ctx.target_max_block_size = old
 
     assert table_rows(sf, "lineitem") == 6000  # footer metadata, no scan
+
+
+def test_csv_json_roundtrip_through_dispatcher(ray_session, tmp_path):
+    """CSV and JSON route through the same read_table/write_table seam
+    as parquet/lance: column pruning works (CSV pushed into Arrow
+    convert options, JSON post-read) and a write→read roundtrip
+    preserves values."""
+    import pandas as pd
+    import ray.data as rd
+
+    from tag_ray.sources import read_table, write_table
+
+    df = pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"],
+                       "c": [0.5, 1.5, 2.5]})
+    src = rd.from_pandas(df)
+
+    for ext in ("csv", "json"):
+        out = str(tmp_path / f"t_{ext}.{ext}")
+        write_table(src, out)
+        full = read_table(out).to_pandas().sort_values("a")
+        assert list(full["b"]) == ["x", "y", "z"]
+        pruned = read_table(out, columns=["a", "c"]).to_pandas()
+        assert sorted(pruned.columns) == ["a", "c"]
+        assert sorted(pruned["a"].tolist()) == [1, 2, 3]
