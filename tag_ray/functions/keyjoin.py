@@ -134,6 +134,14 @@ def filter_by_key_set(ds: rd.Dataset, col: str, keys_ds: rd.Dataset,
     limit = BROADCAST_KEY_LIMIT if broadcast_limit is None else broadcast_limit
     n = est_rows if est_rows is not None else keys_ds.count()
     if n <= limit:
-        return _broadcast_filter(
-            ds, col, collect_distinct_keys(keys_ds, key_col), anti)
+        keys = collect_distinct_keys(keys_ds, key_col)
+        # 0-key short-circuit, mirroring the distributed path: the
+        # collected placeholder is typed int64 regardless of the key
+        # column's type, and pc.is_in raises on a type mismatch
+        if len(keys) == 0:
+            if anti:
+                return ds
+            return ds.map_batches(lambda b: b.slice(0, 0),
+                                  batch_format="pyarrow")
+        return _broadcast_filter(ds, col, keys, anti)
     return _distributed_filter(ds, col, keys_ds, key_col, anti)

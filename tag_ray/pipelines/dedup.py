@@ -29,20 +29,10 @@ from tag_ray.codecs.phash import hamming64, phash_bands
 from tag_ray.functions.hashing import hash_strings64
 from tag_ray.functions.rounding import round_half_away
 
-from tag_ray.sources import table, table_rows
+from tag_ray.sources import ctable, table_rows
 
 
-def _ctable(sf_dir: str, name: str, columns: list | None = None):
-    """Capped read (~CPUs/2 blocks, byte-floored — see
-    sources.combine_num_blocks): signature/shingle kernels here run
-    well under the per-block handoff cost at capped width (measured:
-    minhash 1.55->0.94 s, simhash 1.8->0.9 s, exact-dup 1.03->0.5 s at
-    sf0.1), and every downstream exchange is the keycol-lesson
-    CPUs/2-block shape already."""
-    from tag_ray.sources import combine_num_blocks
-
-    return table(sf_dir, name, columns=columns,
-                 num_blocks=combine_num_blocks(sf_dir, name))
+_ctable = ctable  # shared capped read (see sources.ctable docstring)
 
 # ---------------------------------------------------------------------------
 # exact dedup (md5 groupby) — returns duplicate groups
@@ -926,21 +916,44 @@ def doc_minhash_dedup_apply(sf_dir: str,
 # packing (n_chars, 2^31 - doc_id) into one int64, so no new grouped
 # machinery is needed. Packing bound: doc_id < 2^31 (asserted per
 # batch), n_chars < 2^31. Normalization parity Python-re vs DuckDB
-# regexp_replace(..., 'g') is pinned by the oracle compare itself.
+# regexp_replace(..., 'g'): RE2's \s is the ASCII class [\t\n\f\r ]
+# (no \v, \xa0,   — verified against this DuckDB build), so the
+# Python side uses that explicit class, NOT Unicode-aware \s; and
+# Python str.lower() applies the FULL case mapping where utf8proc
+# (DuckDB lower) applies the simple one — the only unconditional
+# divergence is U+0130 'İ' → 'i̇' vs 'i', pre-substituted away.
+
+
+_RE2_WS = None
+# DuckDB trim()'s default strip set: ' ' plus every Unicode
+# SPACE-SEPARATOR (Zs) chars - NOT tab/newline/VT/FF/CR, NEL or LS/PS
+# this DuckDB build; tests/test_edge_corpus pins it char-by-char)
+_DUCK_TRIM = (" \xa0\u1680"
+              + "".join(chr(c) for c in range(0x2000, 0x200B))
+              + "\u202f\u205f\u3000")
+
+
+def canonical_text(t: str) -> str:
+    """Mirror of the oracle's
+    ``trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))`` —
+    divergence-exact, pinned char-by-char in tests/test_edge_corpus."""
+    global _RE2_WS
+    if _RE2_WS is None:
+        import re
+        _RE2_WS = re.compile(r"[\t\n\f\r ]+")  # RE2 \s, not Unicode \s
+    return (_RE2_WS.sub(" ", t.replace("İ", "i").lower())
+            .strip(_DUCK_TRIM))
 
 
 def doc_dedup_keep_best(sf_dir: str) -> rd.Dataset:
-    import re
-
     from tag_ray.functions.grouping import grouped_aggregate
 
     docs = _ctable(sf_dir, "documents",
                    columns=["doc_id", "text", "n_chars"])
     _MAXID = np.int64(1) << 31
-    ws = re.compile(r"\s+")
 
     def fp(b: pa.Table) -> pa.Table:
-        fps = [hashlib.md5(ws.sub(" ", t.lower()).strip().encode()).hexdigest()
+        fps = [hashlib.md5(canonical_text(t).encode()).hexdigest()
                for t in b["text"].to_pylist()]
         ids = b["doc_id"].to_numpy(zero_copy_only=False)
         nc = b["n_chars"].to_numpy(zero_copy_only=False)

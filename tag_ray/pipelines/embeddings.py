@@ -18,15 +18,10 @@ import ray.data as rd
 from ray.data.aggregate import Count, Mean
 
 from tag_ray.functions.rounding import round_half_away
-from tag_ray.sources import combine_num_blocks, table
+from tag_ray.sources import ctable
 
 
-def _ctable(sf_dir: str, name: str, columns: list | None = None):
-    """Capped read (~CPUs/2 blocks, byte-floored): the per-batch
-    matmul/partial kernels here are cheap at any one block, and the
-    fat embedding column hits the byte floor early at real scale."""
-    return table(sf_dir, name, columns=columns,
-                 num_blocks=combine_num_blocks(sf_dir, name))
+_ctable = ctable  # shared capped read (see sources.ctable docstring)
 
 
 

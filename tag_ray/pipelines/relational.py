@@ -27,20 +27,10 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from tag_ray.config import join_num_partitions
 from tag_ray.functions.rounding import round_half_away, to_cents
-from tag_ray.sources import combine_num_blocks, table
+from tag_ray.sources import ctable
 
 
-def _ctable(sf_dir: str, name: str, columns: list | None = None):
-    """Capped table read for this module's combine/shuffle-bound
-    consumers: every relational kernel here is a cheap vectorized UDF,
-    so reads are sized by cluster width and bytes
-    (sources.combine_num_blocks: ~CPUs/2, floored by
-    bytes/target_max_block_size) rather than Ray's 2xCPUs default —
-    measured ~2x across the query family at sf0.1 (q1 1.2->0.5 s,
-    orders_rank_in_customer 1.1->0.46 s, events_daily_pivot
-    0.56->0.24 s; see CLAUDE.md r3 block-cap lesson)."""
-    return table(sf_dir, name, columns=columns,
-                 num_blocks=combine_num_blocks(sf_dir, name))
+_ctable = ctable  # shared capped read (see sources.ctable docstring)
 
 _US_PER_HOUR = 3_600_000_000
 SESSION_GAP_US = 1_800_000_000  # 30 min
@@ -131,7 +121,7 @@ SELECT l_returnflag, l_linestatus,
        SUM(CAST(round(l_extendedprice*(1-l_discount)*(1+l_tax)*100) AS BIGINT))/100.0 AS sum_charge,
        ROUND(SUM(CAST(round(l_quantity*100) AS BIGINT))/100.0/COUNT(*), 4) AS avg_qty,
        ROUND(SUM(CAST(round(l_extendedprice*100) AS BIGINT))/100.0/COUNT(*), 4) AS avg_price,
-       ROUND(AVG(l_discount), 4) AS avg_disc,
+       ROUND(SUM(CAST(round(l_discount*100.0*100) AS BIGINT))/100.0/COUNT(*)/100.0, 4) AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -2051,6 +2041,9 @@ def events_retention(sf_dir: str) -> pd.DataFrame:
     parts = coarse_bucket_apply(
         ev.map_batches(days, batch_format="pyarrow"),
         ["user_id"], bucket_retention).to_pandas()
+    if parts.empty:  # empty events ⇒ column-less frame; groupby would raise
+        return pd.DataFrame({"day_offset": pd.Series([], dtype="int64"),
+                             "n_users": pd.Series([], dtype="int64")})
     out = (parts.groupby("day_offset", sort=True)["n_users"]
            .sum().reset_index())
     return out
@@ -2436,7 +2429,8 @@ def orders_pareto_customers(sf_dir: str) -> rd.Dataset:
     rev = grouped_aggregate(orders.map_batches(derive, batch_format="pyarrow"),
                             ["o_custkey"], {"rev_c": ("rev_c", "sum")})
     rev = rev.materialize()  # consumed twice: scalar total + the scan
-    total = int(rev.sum("rev_c"))
+    total_raw = rev.sum("rev_c")  # None on an empty orders table
+    total = int(total_raw) if total_raw is not None else 0
 
     def neg_key(b: pa.Table) -> pa.Table:
         r = b["rev_c"].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -4,7 +4,18 @@ Language/quality/token analysis a training-data pipeline needs
 (task brief), expressed as vectorized map_batches + small groupbys.
 Tokenization contract shared with the oracle: split on whitespace runs
 after trim — Python ``text.strip().split()`` ≡ DuckDB
-``regexp_split_to_array(trim(text), '\\s+')``.
+``regexp_split_to_array(trim(text), '\\s+')`` — with TWO pinned
+caveats. (1) Empty/whitespace-only text has ZERO tokens: DuckDB's
+split of the trimmed empty string returns ``['']`` (length 1), so
+every token-count oracle wraps the split in a ``CASE WHEN trim(text)
+= '' THEN 0`` (and word-exploding oracles filter those rows) —
+tests/test_edge_corpus pins this on an empty document. (2) The
+equivalence assumes boundary whitespace is spaces/tabs-as-ASCII-runs:
+RE2's ``\\s`` is the ASCII class while Python ``str.split()`` is
+Unicode-aware, so text carrying NBSP/U+2028-style separators would
+tokenize differently — no corpus (fixtures, testdata, edge) contains
+them, and the dedup canonicalizer that DOES care mirrors RE2
+explicitly (pipelines/dedup.canonical_text).
 """
 
 from __future__ import annotations
@@ -19,16 +30,10 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from tag_ray.functions.rounding import round_half_away
-from tag_ray.sources import combine_num_blocks, table
+from tag_ray.sources import ctable, table
 
 
-def _ctable(sf_dir: str, name: str, columns: list | None = None):
-    """Capped read for cheap-UDF consumers (~CPUs/2 blocks, byte-floored
-    — see sources.combine_num_blocks). Compute-heavy stages (winnowing,
-    heavy-hitter sketching, contamination) keep the default split: their
-    per-block UDF amortizes handoffs and wants full-width parallelism."""
-    return table(sf_dir, name, columns=columns,
-                 num_blocks=combine_num_blocks(sf_dir, name))
+_ctable = ctable  # shared capped read (see sources.ctable docstring)
 
 
 def doc_lang_counts(sf_dir: str) -> rd.Dataset:
@@ -60,8 +65,12 @@ def doc_token_stats(sf_dir: str) -> rd.Dataset:
 
 TOKEN_STATS_SQL = r"""
 SELECT doc_id,
-       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
-       len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS n_uniq_tokens,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+'))
+       END AS n_tokens,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+       END AS n_uniq_tokens,
        n_chars
 FROM documents
 """
@@ -138,7 +147,8 @@ def doc_word_topk(sf_dir: str, k: int = 20) -> pd.DataFrame:
 
 WORD_TOPK_SQL = r"""
 SELECT word, COUNT(*) AS n
-FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents)
+FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+      FROM documents WHERE trim(text) <> '')
 GROUP BY word ORDER BY n DESC, word LIMIT 20
 """
 
@@ -1027,7 +1037,9 @@ def pack_assign_sql(budget: int = 512) -> str:
     return rf"""
 WITH t AS (
   SELECT doc_id,
-         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+'))
+         END AS n_tokens
   FROM documents)
 SELECT doc_id, n_tokens,
        CAST((CAST(SUM(n_tokens) OVER (ORDER BY doc_id) AS BIGINT)
@@ -1090,18 +1102,22 @@ SELECT doc_id, lang, rk FROM (
 # ---------------------------------------------------------------------------
 # per-language character-trigram top-k: a char-level corpus profile
 # (language-model n-gram stats, tokenizer-design input). The kernel is
-# fully vectorized: each batch's texts are concatenated into one byte
-# blob, every position's trigram packed into a uint32 via shifts,
-# doc-boundary-crossing positions masked, and (lang, trigram) partials
-# counted with ONE np.unique — no per-document Python. Partials shrink
-# the exchange to distinct (lang, tri) pairs per block (bounded by the
-# trigram space, ~langs x 26^3, regardless of corpus size); the global
-# sum goes through grouped_aggregate (coarse buckets, vectorized), and
-# the per-lang top-k is per-block partial head-k + one tiny co-located
-# reduce — the same zero-wide-shuffle shape as doc_stratified_sample.
-# Parity note: trigrams are BYTE trigrams; identical to DuckDB's
-# char-based substring() on this corpus (ASCII-only — pinned by the
-# oracle compare itself).
+# fully vectorized: each batch's texts are concatenated into one
+# UTF-32 codepoint blob (np.frombuffer view), every position's trigram
+# packed into an int64 via 21-bit shifts (a codepoint is ≤ 0x10FFFF <
+# 2^21, so three fit in 63 bits), doc-boundary-crossing positions
+# masked, and (lang, trigram) partials counted with one np.unique per
+# lang present in the batch (lang count is dictionary-bounded) — no
+# per-document Python. Partials shrink the exchange to distinct
+# (lang, tri) pairs per block (bounded by the trigram space, ~langs x
+# 26^3, regardless of corpus size); the global sum goes through
+# grouped_aggregate (coarse buckets, vectorized), and the per-lang
+# top-k is per-block partial head-k + one tiny co-located reduce — the
+# same zero-wide-shuffle shape as doc_stratified_sample. Parity note:
+# trigrams are CODEPOINT trigrams — exactly DuckDB's char-based
+# substring()/length() on ANY text; the earlier byte-trigram kernel
+# raised UnicodeDecodeError on trigrams slicing a multi-byte sequence
+# (tests/test_properties pins non-ASCII against brute force now).
 
 
 def trigram_counts_batch(b: pa.Table) -> pa.Table:
@@ -1112,16 +1128,17 @@ def trigram_counts_batch(b: pa.Table) -> pa.Table:
     langs, lang_idx = np.unique(
         np.asarray(b["lang"].to_pylist(), dtype=object),
         return_inverse=True)
-    bts = [t.encode("utf-8") for t in texts]
-    lens = np.fromiter((len(x) for x in bts), np.int64, count=len(bts))
+    lens = np.fromiter((len(t) for t in texts), np.int64, count=len(texts))
     total = int(lens.sum())
     if total < 3:
         return pa.Table.from_pydict({
             "lang": pa.array([], pa.string()),
             "tri": pa.array([], pa.string()),
             "n": pa.array([], pa.int64())})
-    arr = np.frombuffer(b"".join(bts), np.uint8).astype(np.uint32)
-    code = (arr[:-2] << 16) | (arr[1:-1] << 8) | arr[2:]
+    arr = np.frombuffer("".join(texts).encode("utf-32-le"), np.uint32)
+    code = ((arr[:-2].astype(np.int64) << 42)
+            | (arr[1:-1].astype(np.int64) << 21)
+            | arr[2:].astype(np.int64))
     # positions e-1, e-2 at each doc end span a boundary → mask
     ends = np.cumsum(lens)
     valid = np.ones(total, dtype=bool)
@@ -1130,22 +1147,30 @@ def trigram_counts_batch(b: pa.Table) -> pa.Table:
     e2 = ends[lens >= 2] - 2
     valid[e2[e2 < total - 2]] = False
     valid = valid[:total - 2]
-    # docs shorter than 3 bytes have all their positions masked by
+    # docs shorter than 3 chars have all their positions masked by
     # the two rules above (len 1: its only position is e-1 or e-2 of
     # itself; len 2: both) — no extra handling needed
     pos_lang = np.repeat(lang_idx.astype(np.int64), lens)[:total - 2]
-    key = (pos_lang[valid] << 24) | code[valid].astype(np.int64)
-    uniq, counts = np.unique(key, return_counts=True)
-    tri_codes = (uniq & 0xFFFFFF).astype(np.uint32)
-    tri_bytes = np.empty((len(uniq), 3), np.uint8)
-    tri_bytes[:, 0] = tri_codes >> 16
-    tri_bytes[:, 1] = (tri_codes >> 8) & 0xFF
-    tri_bytes[:, 2] = tri_codes & 0xFF
-    tris = [bytes(rw).decode("utf-8") for rw in tri_bytes]
+    pl, cd = pos_lang[valid], code[valid]
+    _M21 = np.int64(0x1FFFFF)
+    out_lang: list = []
+    out_tri: list = []
+    out_n: list = []
+    for li in range(len(langs)):
+        uniq, counts = np.unique(cd[pl == li], return_counts=True)
+        if not len(uniq):
+            continue
+        c0 = ((uniq >> 42) & _M21).tolist()
+        c1 = ((uniq >> 21) & _M21).tolist()
+        c2 = (uniq & _M21).tolist()
+        out_tri.extend(chr(a) + chr(x) + chr(y)
+                       for a, x, y in zip(c0, c1, c2))
+        out_lang.extend([langs[li]] * len(uniq))
+        out_n.extend(counts.tolist())
     return pa.Table.from_pydict({
-        "lang": pa.array(langs[uniq >> 24].tolist(), pa.string()),
-        "tri": pa.array(tris, pa.string()),
-        "n": pa.array(counts.astype(np.int64))})
+        "lang": pa.array(out_lang, pa.string()),
+        "tri": pa.array(out_tri, pa.string()),
+        "n": pa.array(np.asarray(out_n, dtype=np.int64))})
 
 
 def doc_char_trigrams_topk(sf_dir: str, k: int = 10) -> rd.Dataset:
@@ -1238,14 +1263,22 @@ def doc_length_outlier_filter(sf_dir: str, lo_p: float = 0.05,
 
 
 def length_outlier_sql(lo_p: float = 0.05, hi_p: float = 0.95) -> str:
+    # LEFT JOIN from the per-lang band, not an inner join off the kept
+    # docs: a [lo, hi] band CAN exclude every document of a language
+    # (e.g. two docs with very different n_chars), and the filter
+    # report must still carry that lang with n_kept = 0 — the pipeline
+    # emits every lang unconditionally (edge-corpus 'fr' pins this)
     return f"""
 WITH q AS (SELECT lang, quantile_cont(n_chars, {lo_p}) AS lo,
                   quantile_cont(n_chars, {hi_p}) AS hi
-           FROM documents GROUP BY lang)
-SELECT q.lang, q.lo, q.hi, COUNT(*) AS n_kept
-FROM documents d JOIN q ON d.lang = q.lang
-WHERE d.n_chars >= q.lo AND d.n_chars <= q.hi
-GROUP BY q.lang, q.lo, q.hi
+           FROM documents GROUP BY lang),
+k AS (SELECT d.lang, COUNT(*) AS n_kept
+      FROM documents d JOIN q ON d.lang = q.lang
+      WHERE d.n_chars >= q.lo AND d.n_chars <= q.hi
+      GROUP BY d.lang)
+SELECT q.lang, q.lo, q.hi,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+FROM q LEFT JOIN k ON q.lang = k.lang
 """
 
 
@@ -1378,7 +1411,9 @@ def doc_label_quality(sf_dir: str) -> pd.DataFrame:
 LABEL_QUALITY_SQL = r"""
 SELECT label, COUNT(*) AS n,
        ROUND(AVG(n_chars), 4) AS avg_chars,
-       ROUND(AVG(len(regexp_split_to_array(trim(text), '\s+'))), 4)
+       ROUND(CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                           ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                      END) AS DOUBLE) / COUNT(*), 4)
          AS avg_tokens
 FROM documents JOIN embeddings ON doc_id = vec_id
 GROUP BY label

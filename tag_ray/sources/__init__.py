@@ -48,6 +48,21 @@ def combine_num_blocks(sf_dir: str, name: str) -> int:
     return max(join_num_partitions(), -(-nbytes // target))
 
 
+def ctable(sf_dir: str, name: str,
+           columns: list[str] | None = None) -> rd.Dataset:
+    """Capped read (~CPUs/2 blocks, byte-floored — combine_num_blocks):
+    the read shape for cheap-UDF consumers (map-side combines, skinny
+    derives, signature kernels) whose ~10 ms per-block work would be
+    dominated by per-block handoffs at Ray's default 2×CPUs split.
+    Compute-heavy stages (winnowing, sketching, contamination) should
+    call ``table`` with the default split instead — their per-block UDF
+    amortizes handoffs and wants full-width parallelism. One shared
+    definition so the capping rule can't drift between pipelines
+    (pipelines import it as ``_ctable``)."""
+    return table(sf_dir, name, columns=columns,
+                 num_blocks=combine_num_blocks(sf_dir, name))
+
+
 def table_rows(sf_dir: str, name: str) -> int:
     """Exact row count from parquet footer metadata — no data read.
 

@@ -74,6 +74,12 @@ def edge_dir(tmp_path_factory):
         # 10 normalizes to the same canonical text as 7 ("padded
         # spaces") but is SHORTER raw — keep-best must keep 7
         (10, "PADDED SPACES", "de"),
+        # 11/12: a language whose [p05, p95] n_chars band (6.9, 95.1)
+        # excludes BOTH its documents — the length-outlier filter must
+        # still report the lang with n_kept = 0 (single-token texts so
+        # the word-ngram queries are untouched)
+        (11, "zz", "fr"),
+        (12, "q" * 100, "fr"),
     ]
     docs = pa.table({
         "doc_id": pa.array([t[0] for t in texts], pa.int64()),
@@ -115,13 +121,26 @@ def edge_dir(tmp_path_factory):
         "value": pa.array([1.0] * len(ev), pa.float64()),
     })
     pq.write_table(events, str(d / "events.parquet"))
+
+    # embeddings side for the cross-modal join: vec 1 is the EMPTY doc
+    # (its token count must be 0 on both engines, not DuckDB's
+    # split-of-empty artifact 1); label 2 has a single member
+    emb_ids = [1, 2, 3, 4, 6, 8, 11]
+    emb_labels = [0, 0, 1, 1, 0, 1, 2]
+    embeddings = pa.table({
+        "vec_id": pa.array(emb_ids, pa.int64()),
+        "embedding": pa.array([[float(i), 0.0, 1.0, -1.0] for i in emb_ids],
+                              pa.list_(pa.float32())),
+        "label": pa.array(emb_labels, pa.int32()),
+    })
+    pq.write_table(embeddings, str(d / "embeddings.parquet"))
     return str(d)
 
 
 @pytest.fixture(scope="module")
 def edge_con(edge_dir):
     c = duckdb.connect()
-    for t in ("documents", "events"):
+    for t in ("documents", "events", "embeddings"):
         c.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                   f"read_parquet('{edge_dir}/{t}.parquet')")
     return c
@@ -130,7 +149,11 @@ def edge_con(edge_dir):
 NEW_OPS = ["doc_char_trigrams_topk", "doc_length_outlier_filter",
            "doc_dup_ngram_coverage", "events_funnel", "events_retention",
            "events_transition_matrix", "events_value_moving_sum",
-           "doc_dedup_keep_best", "events_rolling_active_users"]
+           "doc_dedup_keep_best", "events_rolling_active_users",
+           # empty-doc token-count parity (0 tokens, not DuckDB's
+           # split-of-'' artifact) + the cross-modal join over vec 1
+           "doc_token_stats", "doc_pack_assign", "doc_label_quality",
+           "doc_word_topk", "doc_unique_words"]
 
 
 @pytest.mark.parametrize("name", NEW_OPS)
@@ -181,3 +204,37 @@ def test_keep_best_edge_semantics(ray_session, edge_dir):
     assert 7 in kept and 10 not in kept
     assert 4 in kept and 5 not in kept
     assert {1, 2, 3, 6, 8, 9} <= kept
+
+
+def test_length_outlier_reports_empty_band_lang(ray_session, edge_dir):
+    """Lang 'fr' (two docs, n_chars 2 and 100) has a [6.9, 95.1] band
+    that excludes both documents: the filter report must still carry
+    the lang with n_kept = 0 rather than dropping the row."""
+    import __ray_entry__ as entrymod
+
+    out = entrymod.queries()["doc_length_outlier_filter"](edge_dir)
+    fr = out[out["lang"] == "fr"]
+    assert len(fr) == 1 and int(fr["n_kept"].iloc[0]) == 0
+
+
+def test_canonical_text_matches_duckdb_on_adversarial_chars():
+    """canonical_text must equal the oracle expression char-by-char on
+    inputs where Python's Unicode-aware \\s/lower()/strip() and
+    RE2/utf8proc disagree: \\v and NBSP and U+2028 (Python \\s, NOT
+    RE2 \\s), İ (full vs simple lowercase mapping), and boundary
+    whitespace mixes."""
+    from tag_ray.pipelines.dedup import canonical_text
+
+    cases = [
+        "", "   ", "a\x0bb", "a\xa0b", "\xa0a\xa0", "a\u2028b",
+        "İstanbul  CITY", "A\tB\nC", " \t mixed \x0b ends\xa0",
+        "Straße  GROß", "ÀÉÎ  œÆ", "a  b\tc\nd\fe\rf",
+    ]
+    con = duckdb.connect()
+    for t in cases:
+        want = con.execute(
+            r"SELECT trim(regexp_replace(lower(?), '\s+', ' ', 'g'))",
+            [t]).fetchone()[0]
+        assert canonical_text(t) == want, (repr(t), repr(canonical_text(t)),
+                                           repr(want))
+    con.close()

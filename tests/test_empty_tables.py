@@ -1,0 +1,49 @@
+"""Zero-row inputs must yield empty results, not crashes.
+
+An upstream filter (date gate, tenant partition, resumed shard) can
+hand any operator a 0-row table; the sequence/analytics kernels and
+the Pareto scan each have a driver-side finalize step that historically
+assumed ≥1 row (pandas groupby on a column-less frame raises KeyError;
+``Dataset.sum()`` returns None). Pinned here against schema-true empty
+parquet files.
+"""
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def empty_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("empty_sf")
+    src = "/root/testdata/sf0.001"
+    for t in ("events", "orders", "documents", "lineitem"):
+        schema = pq.read_schema(f"{src}/{t}.parquet")
+        pq.write_table(schema.empty_table(), str(d / f"{t}.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name,want_rows", [
+    # the funnel's oracle (three UNION ALL COUNT(*) arms) emits 3 zero
+    # rows even over zero events — the pipeline must match, not vanish
+    ("events_funnel", 3),
+    ("events_retention", 0),
+    ("events_transition_matrix", 0),
+    ("events_rolling_active_users", 0),
+    ("events_value_moving_sum", 0),
+    ("orders_pareto_customers", 0),
+])
+def test_empty_input_matches_oracle_shape(ray_session, empty_dir, name,
+                                          want_rows):
+    import ray.data as rd
+
+    import __ray_entry__ as entrymod
+
+    res = entrymod.queries()[name](empty_dir)
+    if isinstance(res, rd.Dataset):
+        res = res.to_pandas()
+    assert isinstance(res, (pd.DataFrame, pa.Table))
+    assert len(res) == want_rows, (name, res)
+    if name == "events_funnel":
+        assert list(res["n_users"]) == [0, 0, 0]

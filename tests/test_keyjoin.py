@@ -76,16 +76,23 @@ def test_filter_by_key_set_empty_key_side(ray_session):
     import ray.data as rd
     from tag_ray.functions import keyjoin
 
-    facts = rd.from_arrow(pa.table({"k": [1, 2, 3], "v": [10, 20, 30]}))
-    keys = rd.from_arrow(pa.table({"kk": pa.array([], pa.int64())}))
-    for limit in (None, 0):
-        semi = keyjoin.filter_by_key_set(
-            facts, "k", keys, "kk", broadcast_limit=limit).to_pandas()
-        anti = keyjoin.filter_by_key_set(
-            facts, "k", keys, "kk", anti=True,
-            broadcast_limit=limit).to_pandas()
-        assert len(semi) == 0, limit
-        assert sorted(anti["v"]) == [10, 20, 30], limit
+    int_facts = rd.from_arrow(pa.table({"k": [1, 2, 3], "v": [10, 20, 30]}))
+    int_keys = rd.from_arrow(pa.table({"kk": pa.array([], pa.int64())}))
+    # string facts + empty key side: the collected placeholder is typed
+    # int64 regardless of the key column, so without the 0-key
+    # short-circuit the broadcast path raises ArrowTypeError
+    str_facts = rd.from_arrow(pa.table({"k": pa.array(["a", "b", "c"]),
+                                        "v": [10, 20, 30]}))
+    str_keys = rd.from_arrow(pa.table({"kk": pa.array([], pa.string())}))
+    for facts, keys in ((int_facts, int_keys), (str_facts, str_keys)):
+        for limit in (None, 0):
+            semi = keyjoin.filter_by_key_set(
+                facts, "k", keys, "kk", broadcast_limit=limit).to_pandas()
+            anti = keyjoin.filter_by_key_set(
+                facts, "k", keys, "kk", anti=True,
+                broadcast_limit=limit).to_pandas()
+            assert len(semi) == 0, limit
+            assert sorted(anti["v"]) == [10, 20, 30], limit
 
 
 def test_filter_by_key_set_reserved_columns_rejected(ray_session):

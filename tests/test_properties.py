@@ -138,9 +138,12 @@ def test_repetition_stats_match_duckdb(seed, n):
 
 
 @settings(max_examples=50, deadline=None)
-@given(texts=st.lists(st.text(alphabet=st.characters(min_codepoint=32,
-                                                     max_codepoint=126),
-                              min_size=0, max_size=12),
+@given(texts=st.lists(st.text(
+                          # ASCII plus 2-, 3- and 4-byte codepoints: the
+                          # codepoint kernel must match CHARACTER slicing
+                          # (the 🦆 > 0xFFFF exercises the 21-bit packing)
+                          alphabet=st.sampled_from(list("ab x.é漢🦆")),
+                          min_size=0, max_size=12),
                       min_size=1, max_size=12),
        langs=st.data())
 def test_trigram_counts_match_bruteforce(texts, langs):
