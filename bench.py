@@ -84,8 +84,11 @@ def run_suite(sf_dir: str, num_cpus: int, names: list[str]) -> dict:
         from tag_ray.pipelines import validate as V
         n_parts = ent._SF_IMAGE_ROWS.get(
             os.path.basename(os.path.normpath(sf_dir)), (1_000, 4))[1]
+        # ≥1 task per worker (the scaling child's formula): a CPUs/2
+        # warm-up left half the pool cold at 32 CPUs and the first
+        # timed pipeline still paid those spawns
         V.validate(corpus + "/images", corpus + "/ref_ids.parquet",
-                   partitions=list(range(min(n_parts, max(8, num_cpus // 2))))
+                   partitions=list(range(min(n_parts, max(8, num_cpus))))
                    ).count()
     qs = ent.queries()
     timings: dict[str, float] = {}

@@ -835,22 +835,12 @@ def doc_near_dup_clusters(sf_dir: str,
     does the latter through the byte-gated key join)."""
     import ray.data as rd
 
-    from tag_ray.functions.components import connected_components
-
-    # verified pairs stay a Dataset all the way into the components
-    # stage — the candidate → verify → cluster chain never touches the
-    # driver (VERDICT r1 stretch #10)
-    docs = _ctable(sf_dir, "documents", columns=["doc_id", "text"])
-    cand = doc_minhash_candidates(docs,
-                                  n_docs=table_rows(sf_dir, "documents"))
-    pairs_ds = _verified_jaccard_pairs_ds(docs, cand, jaccard_threshold, 3)
-    if pairs_ds is None:
+    comp = _near_dup_components(sf_dir, jaccard_threshold)
+    if comp is None:
         return rd.from_arrow(pa.Table.from_pydict({
             "doc_id": pa.array([], pa.int64()),
             "cluster_id": pa.array([], pa.int64()),
             "keep": pa.array([], pa.bool_())}))
-    edges = pairs_ds.select_columns(["doc_id_a", "doc_id_b"])
-    comp = connected_components(edges, "doc_id_a", "doc_id_b")
 
     def finish(t: pa.Table) -> pa.Table:
         node = t["node"].cast(pa.int64())
@@ -860,6 +850,27 @@ def doc_near_dup_clusters(sf_dir: str,
             "keep": pc.equal(node, root)})
 
     return comp.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
+def _near_dup_components(sf_dir: str, jaccard_threshold: float):
+    """Shared docs → minhash candidates → distributed verify →
+    connected-components chain behind both the cluster table and the
+    dedup apply (one definition so a threshold/shingle change can't
+    drift between them). Returns the (node, component) Dataset, or
+    None when no verified pair survives. Verified pairs stay a Dataset
+    all the way into the components stage — the chain never touches
+    the driver (VERDICT r1 stretch #10)."""
+    from tag_ray.functions.components import connected_components
+
+    docs = _ctable(sf_dir, "documents", columns=["doc_id", "text"])
+    cand = doc_minhash_candidates(docs,
+                                  n_docs=table_rows(sf_dir, "documents"))
+    pairs_ds = _verified_jaccard_pairs_ds(docs, cand, jaccard_threshold, 3)
+    if pairs_ds is None:
+        return None
+    return connected_components(
+        pairs_ds.select_columns(["doc_id_a", "doc_id_b"]),
+        "doc_id_a", "doc_id_b")
 
 
 def doc_minhash_dedup_apply(sf_dir: str,
@@ -879,19 +890,12 @@ def doc_minhash_dedup_apply(sf_dir: str,
     survivors ∩ drop-set = ∅, and broadcast-vs-distributed equality."""
     import pyarrow.compute as pc
 
-    from tag_ray.functions.components import connected_components
     from tag_ray.functions.keyjoin import filter_by_key_set
 
     out_docs = _ctable(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
-    docs = _ctable(sf_dir, "documents", columns=["doc_id", "text"])
-    cand = doc_minhash_candidates(docs,
-                                  n_docs=table_rows(sf_dir, "documents"))
-    pairs_ds = _verified_jaccard_pairs_ds(docs, cand, jaccard_threshold, 3)
-    if pairs_ds is None:
+    comp = _near_dup_components(sf_dir, jaccard_threshold)
+    if comp is None:
         return out_docs
-    comp = connected_components(
-        pairs_ds.select_columns(["doc_id_a", "doc_id_b"]),
-        "doc_id_a", "doc_id_b")
 
     def nonrep(t: pa.Table) -> pa.Table:
         keep = pc.invert(pc.equal(t["node"], t["component"]))
@@ -917,11 +921,12 @@ def doc_minhash_dedup_apply(sf_dir: str,
 # machinery is needed. Packing bound: doc_id < 2^31 (asserted per
 # batch), n_chars < 2^31. Normalization parity Python-re vs DuckDB
 # regexp_replace(..., 'g'): RE2's \s is the ASCII class [\t\n\f\r ]
-# (no \v, \xa0,   — verified against this DuckDB build), so the
-# Python side uses that explicit class, NOT Unicode-aware \s; and
-# Python str.lower() applies the FULL case mapping where utf8proc
-# (DuckDB lower) applies the simple one — the only unconditional
-# divergence is U+0130 'İ' → 'i̇' vs 'i', pre-substituted away.
+# (no \v/NBSP/LS — verified against this DuckDB build), so the
+# Python side uses that explicit class, NOT Unicode-aware \s; the
+# lowercase step goes through _duck_lower (full vs simple
+# case-mapping divergences — İ, Final_Sigma, late-Unicode additions
+# — see the _KEEP_UPPER comment below); trim's strip set is
+# ' '+Zs (_DUCK_TRIM).
 
 
 _RE2_WS = None
@@ -933,6 +938,34 @@ _DUCK_TRIM = (" \xa0\u1680"
               + "\u202f\u205f\u3000")
 
 
+# Where Python str.lower() diverges from DuckDB lower() (utf8proc
+# simple per-codepoint lowercase). Generated by sweeping EVERY
+# codepoint against this DuckDB build (re-swept by
+# tests/test_edge_corpus.py::test_duck_lower_full_parity):
+#   * U+0130 'İ': full mapping 'i'+U+0307 vs utf8proc 'i';
+#   * U+03A3 'Σ': Python applies the conditional Final_Sigma rule
+#     (word-final → 'ς'), utf8proc always gives 'σ';
+#   * 43 uppercase letters added after this utf8proc's Unicode
+#     version (Latin Extended-D additions + the Vithkuqi script),
+#     which DuckDB leaves unmapped (identity).
+_KEEP_UPPER = frozenset(map(chr, [
+    0x2C2F, 0xA7C0, 0xA7C7, 0xA7C9, 0xA7D0, 0xA7D6, 0xA7D8, 0xA7F5,
+    *range(0x10570, 0x1057B), *range(0x1057C, 0x1058B),
+    *range(0x1058C, 0x10593), 0x10594, 0x10595]))
+_DIVERGENT = frozenset("\u0130\u03a3") | _KEEP_UPPER
+
+
+def _duck_lower(t: str) -> str:
+    """Python mirror of DuckDB lower() — utf8proc SIMPLE lowercase."""
+    if t.isascii() or _DIVERGENT.isdisjoint(t):
+        return t.lower()
+    t = t.replace("\u0130", "i").replace("\u03a3", "\u03c3")
+    # per-char .lower() == the simple mapping for everything left
+    # (İ, the only unconditional multi-char mapping, is gone; Σ, the
+    # only conditional one, is gone)
+    return "".join(ch if ch in _KEEP_UPPER else ch.lower() for ch in t)
+
+
 def canonical_text(t: str) -> str:
     """Mirror of the oracle's
     ``trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))`` —
@@ -941,8 +974,7 @@ def canonical_text(t: str) -> str:
     if _RE2_WS is None:
         import re
         _RE2_WS = re.compile(r"[\t\n\f\r ]+")  # RE2 \s, not Unicode \s
-    return (_RE2_WS.sub(" ", t.replace("İ", "i").lower())
-            .strip(_DUCK_TRIM))
+    return _RE2_WS.sub(" ", _duck_lower(t)).strip(_DUCK_TRIM)
 
 
 def doc_dedup_keep_best(sf_dir: str) -> rd.Dataset:

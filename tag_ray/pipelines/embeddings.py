@@ -30,8 +30,10 @@ def _emb_matrix(b: pa.Table) -> np.ndarray:
     col = b["embedding"]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     n = len(col)
+    if n == 0:  # reshape(0, -1) is ambiguous for numpy — return (0, 0)
+        return np.zeros((0, 0), dtype=np.float64)
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     return flat.reshape(n, -1)
 
 
@@ -118,6 +120,8 @@ def _read_first_rows(sf_dir: str, n_rows: int) -> pa.Table:
         got += rb.num_rows
         if got >= n_rows:
             break
+    if not parts:  # empty table: concat_tables requires ≥1 input
+        return pa.schema([pf.schema_arrow.field("embedding")]).empty_table()
     return pa.concat_tables(parts).slice(0, n_rows)
 
 
@@ -524,6 +528,11 @@ def emb_pq_encode(sf_dir: str, n_clusters: int = 16, m_sub: int = 8,
     is the persisted artifact every ANN query scans instead of the
     float table."""
     sample = _emb_matrix(_read_first_rows(sf_dir, train_sample))
+    if len(sample) == 0:  # empty table: nothing to train on or encode
+        return rd.from_arrow(pa.table({
+            "vec_id": pa.array([], pa.int64()),
+            "bucket": pa.array([], pa.int32()),
+            "code64": pa.array([], pa.int64())}))
     norms = np.sqrt((sample * sample).sum(axis=1, keepdims=True))
     sample = sample / np.where(norms == 0, 1.0, norms)
     cents = _train_centroids(sample, n_clusters)
@@ -560,6 +569,9 @@ def emb_ivfpq_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10,
     from tag_ray.sources import table_path
 
     sample = _emb_matrix(_read_first_rows(sf_dir, train_sample))
+    if len(sample) == 0:  # empty table: no index, no query vector
+        return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                             "cos": pd.Series([], dtype="float64")})
     norms = np.sqrt((sample * sample).sum(axis=1, keepdims=True))
     sample = sample / np.where(norms == 0, 1.0, norms)
     cents = _train_centroids(sample, n_clusters)

@@ -2244,14 +2244,20 @@ def q7_nation_volume(sf_dir: str) -> pd.DataFrame:
         sk, sn = ray.get(supp_h)
         rev = _cents(b["l_extendedprice"].to_numpy(zero_copy_only=False)
                      * (1.0 - b["l_discount"].to_numpy(zero_copy_only=False)))
-        idx = np.searchsorted(sk, b["l_suppkey"].to_numpy(
-            zero_copy_only=False).astype(np.int64))
+        k = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(sk, k)
+        # clamp + hit mask (same guard as attach_cn below): an orphan
+        # l_suppkey must be DROPPED like the oracle's inner join, not
+        # IndexError past the array end / silently mislabel a nation
+        idx = np.minimum(idx, max(len(sk) - 1, 0))
+        hit = (sk[idx] == k) if len(sk) else np.zeros(len(k), bool)
         part = (pd.DataFrame({
-            "l_orderkey": b["l_orderkey"].to_numpy(zero_copy_only=False),
-            "sn": sn[idx],
+            "l_orderkey": b["l_orderkey"].to_numpy(
+                zero_copy_only=False)[hit],
+            "sn": sn[idx[hit]],
             "l_year": pc.year(b["l_shipdate"]).to_numpy(
-                zero_copy_only=False).astype(np.int64),
-            "rev_c": rev})
+                zero_copy_only=False).astype(np.int64)[hit],
+            "rev_c": rev[hit]})
             .groupby(["l_orderkey", "sn", "l_year"], sort=False)["rev_c"]
             .sum().reset_index())
         return pa.Table.from_pandas(part, preserve_index=False)
@@ -2306,13 +2312,24 @@ def q7_nation_volume(sf_dir: str) -> pd.DataFrame:
     parts = joined.map_batches(combine, batch_format="pyarrow").to_pandas()
     g = (parts.groupby(["sn", "cn", "l_year"], sort=True)["rev_c"]
          .sum().reset_index())
-    sidx = np.searchsorted(nkeys_s, g["sn"].to_numpy(dtype=np.int64))
-    cidx = np.searchsorted(nkeys_s, g["cn"].to_numpy(dtype=np.int64))
+
+    def _lookup(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        # clamp + hit mask: a nationkey absent from nation must drop
+        # the row like the oracle's inner joins, not IndexError
+        idx = np.searchsorted(nkeys_s, keys)
+        idx = np.minimum(idx, max(len(nkeys_s) - 1, 0))
+        hit = (nkeys_s[idx] == keys) if len(nkeys_s) \
+            else np.zeros(len(keys), bool)
+        return idx, hit
+
+    sidx, shit = _lookup(g["sn"].to_numpy(dtype=np.int64))
+    cidx, chit = _lookup(g["cn"].to_numpy(dtype=np.int64))
+    keep = shit & chit
     return pd.DataFrame({
-        "supp_nation": nnames[sidx],
-        "cust_nation": nnames[cidx],
-        "l_year": g["l_year"].astype("int64"),
-        "revenue": g["rev_c"] / 100.0,
+        "supp_nation": nnames[sidx[keep]],
+        "cust_nation": nnames[cidx[keep]],
+        "l_year": g["l_year"].to_numpy(dtype=np.int64)[keep],
+        "revenue": g["rev_c"].to_numpy()[keep] / 100.0,
     })
 
 
@@ -2499,7 +2516,12 @@ def events_rolling_active_users(sf_dir: str, window: int = 7) -> pd.DataFrame:
     def bucket_cover(g: pd.DataFrame) -> pd.DataFrame:
         uid = g["user_id"].to_numpy().astype(np.int64)
         day = g["day"].to_numpy().astype(np.int64)
-        assert (day >= 0).all() and day.max() < (1 << 21), "day packing bound"
+        # bound covers day + window - 1 (the largest COVERED day is
+        # packed, not just the activity day — an activity day within
+        # `window` of 2^21 would otherwise carry into the uid bits and
+        # silently corrupt counts under a passing assert)
+        assert (day >= 0).all() \
+            and day.max() + window - 1 < (1 << 21), "day packing bound"
         cov = (np.repeat(uid, window) << 21) \
             + (np.repeat(day, window)
                + np.tile(np.arange(window, dtype=np.int64), len(uid)))

@@ -229,6 +229,10 @@ def test_canonical_text_matches_duckdb_on_adversarial_chars():
         "", "   ", "a\x0bb", "a\xa0b", "\xa0a\xa0", "a\u2028b",
         "İstanbul  CITY", "A\tB\nC", " \t mixed \x0b ends\xa0",
         "Straße  GROß", "ÀÉÎ  œÆ", "a  b\tc\nd\fe\rf",
+        # conditional Final_Sigma: Python lowers word-final Σ to ς,
+        # utf8proc always to σ; plus genuine ς that must SURVIVE and
+        # late-Unicode uppers DuckDB leaves unmapped
+        "ΝΙΚΟΣ ΣΟΦΙΑ", "ήδη ς σ Σ", "\u2c2f\ua7c0 \U00010570x",
     ]
     con = duckdb.connect()
     for t in cases:
@@ -237,4 +241,27 @@ def test_canonical_text_matches_duckdb_on_adversarial_chars():
             [t]).fetchone()[0]
         assert canonical_text(t) == want, (repr(t), repr(canonical_text(t)),
                                            repr(want))
+    con.close()
+
+
+def test_duck_lower_full_parity():
+    """_duck_lower must equal DuckDB lower() for EVERY codepoint —
+    re-sweeps the whole space so the frozen _KEEP_UPPER divergence set
+    can never silently rot against the installed DuckDB build."""
+    from tag_ray.pipelines.dedup import _duck_lower
+
+    con = duckdb.connect()
+    step = 8192
+    for lo in range(0x20, 0x110000, step):
+        s = "".join(chr(c) for c in range(lo, min(lo + step, 0x110000))
+                    if not (0xD800 <= c <= 0xDFFF))
+        if not s:
+            continue
+        want = con.execute("SELECT lower(?)", [s]).fetchone()[0]
+        got = _duck_lower(s)
+        if got != want:
+            bad = [hex(ord(ch)) for ch in s
+                   if _duck_lower(ch) != con.execute(
+                       "SELECT lower(?)", [ch]).fetchone()[0]]
+            raise AssertionError(f"divergent codepoints: {bad[:20]}")
     con.close()

@@ -18,7 +18,7 @@ import pytest
 def empty_dir(tmp_path_factory):
     d = tmp_path_factory.mktemp("empty_sf")
     src = "/root/testdata/sf0.001"
-    for t in ("events", "orders", "documents", "lineitem"):
+    for t in ("events", "orders", "documents", "lineitem", "embeddings"):
         schema = pq.read_schema(f"{src}/{t}.parquet")
         pq.write_table(schema.empty_table(), str(d / f"{t}.parquet"))
     return str(d)
@@ -33,6 +33,10 @@ def empty_dir(tmp_path_factory):
     ("events_rolling_active_users", 0),
     ("events_value_moving_sum", 0),
     ("orders_pareto_customers", 0),
+    # PQ paths train on a head sample: zero rows must short-circuit,
+    # not ZeroDivisionError inside the per-subspace k-means
+    ("emb_pq_encode", 0),
+    ("emb_ivfpq_topk", 0),
 ])
 def test_empty_input_matches_oracle_shape(ray_session, empty_dir, name,
                                           want_rows):
