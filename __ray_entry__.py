@@ -210,6 +210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_counts": T.doc_lang_counts,
         "doc_token_stats": T.doc_token_stats,
         "doc_fingerprint": T.doc_fingerprint,
+        "doc_containment_near_dups": D.doc_containment_near_dups,
         # --- (3) no-oracle (rows-only) entries ---
         "img_validate": img_validate,
         "img_partition_status": img_partition_status,
@@ -326,4 +327,5 @@ def oracle_sql() -> dict[str, str]:
         "orders_pareto_customers": R.PARETO_SQL,
         "events_rolling_active_users": R.rolling_active_sql(),
         "part_fuzzy_name_pairs": D.FUZZY_NAME_SQL,
+        "doc_containment_near_dups": D.containment_sql(),
     }

@@ -157,6 +157,59 @@ def _join_features(cand: rd.Dataset, base: rd.Dataset, a: str, b: str,
                    right_on=("_vid",))
 
 
+def _pair_set_sizes_and_inter(t: pa.Table):
+    """(la, lb, inter) for every joined pair row — one vectorized
+    intersection kernel per batch (VERDICT r2 "What's wrong" #5):
+    concatenate every pair's two hash sets tagged (pair, value, side),
+    one lexsort, count adjacent (pair, value) matches across sides —
+    each side's values are distinct, so every intersection element
+    contributes exactly one adjacent a/b run. No per-pair Python."""
+    n = t.num_rows
+    la = (pc.binary_length(t["feat_a"]).to_numpy(zero_copy_only=False)
+          .astype(np.int64) // 8)
+    lb = (pc.binary_length(t["feat"]).to_numpy(zero_copy_only=False)
+          .astype(np.int64) // 8)
+    va = np.frombuffer(b"".join(t["feat_a"].to_pylist()), np.uint64)
+    vb = np.frombuffer(b"".join(t["feat"].to_pylist()), np.uint64)
+    pid = np.concatenate([np.repeat(np.arange(n, dtype=np.int64), la),
+                          np.repeat(np.arange(n, dtype=np.int64), lb)])
+    val = np.concatenate([va, vb])
+    side = np.concatenate([np.zeros(va.size, np.int8),
+                           np.ones(vb.size, np.int8)])
+    order = np.lexsort((side, val, pid))
+    p, v, s = pid[order], val[order], side[order]
+    hit = (p[1:] == p[:-1]) & (v[1:] == v[:-1]) & (s[1:] != s[:-1])
+    inter = np.bincount(p[1:][hit], minlength=n)
+    return la, lb, inter
+
+
+def _verify_pairs_setscore(base: rd.Dataset, cand: rd.Dataset,
+                           threshold: float, feature_fn: Callable,
+                           score_fn: Callable, out_col: str,
+                           a: str, b: str, id_col: str,
+                           payload_col: str) -> rd.Dataset:
+    """Shared set-similarity verification: join recomputed feature sets
+    onto the candidate pairs, score each pair with
+    ``score_fn(la, lb, inter) -> float array``, keep rounded ≥
+    threshold."""
+    joined = _join_features(cand, base, a, b, feature_fn, id_col, payload_col)
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.Table.from_pydict({
+                a: pa.array([], pa.int64()), b: pa.array([], pa.int64()),
+                out_col: pa.array([], pa.float64())})
+        la, lb, inter = _pair_set_sizes_and_inter(t)
+        sr = round_half_away(score_fn(la, lb, inter), 4)
+        keep = sr >= threshold
+        kt = t.filter(pa.array(keep))
+        return pa.Table.from_pydict({
+            a: kt[a], b: kt[b], out_col: pa.array(sr[keep]),
+        })
+
+    return joined.map_batches(score, batch_format="pyarrow")
+
+
 def verify_pairs_jaccard(base: rd.Dataset, cand: rd.Dataset,
                          threshold: float, feature_fn: Callable,
                          a: str = "doc_id_a", b: str = "doc_id_b",
@@ -167,45 +220,33 @@ def verify_pairs_jaccard(base: rd.Dataset, cand: rd.Dataset,
 
     ``feature_fn(payload) -> np.ndarray[uint64]`` must return the sorted
     distinct element hashes (the set representation)."""
-    joined = _join_features(cand, base, a, b, feature_fn, id_col, payload_col)
 
-    def score(t: pa.Table) -> pa.Table:
-        # one vectorized intersection kernel per batch (VERDICT r2
-        # "What's wrong" #5): concatenate every pair's two hash sets
-        # tagged (pair, value, side), one lexsort, count adjacent
-        # (pair, value) matches across sides — each side's values are
-        # distinct, so every intersection element contributes exactly
-        # one adjacent a/b run. No per-pair Python.
-        n = t.num_rows
-        if n == 0:
-            return pa.Table.from_pydict({
-                a: pa.array([], pa.int64()), b: pa.array([], pa.int64()),
-                "jaccard": pa.array([], pa.float64())})
-        la = (pc.binary_length(t["feat_a"]).to_numpy(zero_copy_only=False)
-              .astype(np.int64) // 8)
-        lb = (pc.binary_length(t["feat"]).to_numpy(zero_copy_only=False)
-              .astype(np.int64) // 8)
-        va = np.frombuffer(b"".join(t["feat_a"].to_pylist()), np.uint64)
-        vb = np.frombuffer(b"".join(t["feat"].to_pylist()), np.uint64)
-        pid = np.concatenate([np.repeat(np.arange(n, dtype=np.int64), la),
-                              np.repeat(np.arange(n, dtype=np.int64), lb)])
-        val = np.concatenate([va, vb])
-        side = np.concatenate([np.zeros(va.size, np.int8),
-                               np.ones(vb.size, np.int8)])
-        order = np.lexsort((side, val, pid))
-        p, v, s = pid[order], val[order], side[order]
-        hit = (p[1:] == p[:-1]) & (v[1:] == v[:-1]) & (s[1:] != s[:-1])
-        inter = np.bincount(p[1:][hit], minlength=n)
+    def jac(la, lb, inter):
         union = la + lb - inter
-        jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
-        jr = round_half_away(jac, 4)
-        keep = jr >= threshold
-        kt = t.filter(pa.array(keep))
-        return pa.Table.from_pydict({
-            a: kt[a], b: kt[b], "jaccard": pa.array(jr[keep]),
-        })
+        return np.where(union > 0, inter / np.maximum(union, 1), 0.0)
 
-    return joined.map_batches(score, batch_format="pyarrow")
+    return _verify_pairs_setscore(base, cand, threshold, feature_fn,
+                                  jac, "jaccard", a, b, id_col, payload_col)
+
+
+def verify_pairs_containment(base: rd.Dataset, cand: rd.Dataset,
+                             threshold: float, feature_fn: Callable,
+                             a: str = "doc_id_a", b: str = "doc_id_b",
+                             id_col: str = "doc_id",
+                             payload_col: str = "text") -> rd.Dataset:
+    """(a, b) candidates → (a, b, containment) where containment is the
+    EXACT max-containment |A∩B| / min(|A|, |B|) — 1.0 when either side's
+    set is a subset of the other's, regardless of the size ratio. The
+    partial-duplicate score symmetric Jaccard misses (a paragraph quoted
+    inside a much longer document has tiny Jaccard but containment 1)."""
+
+    def cont(la, lb, inter):
+        mn = np.minimum(la, lb)
+        return np.where(mn > 0, inter / np.maximum(mn, 1), 0.0)
+
+    return _verify_pairs_setscore(base, cand, threshold, feature_fn,
+                                  cont, "containment", a, b, id_col,
+                                  payload_col)
 
 
 def verify_pairs_cosine(base: rd.Dataset, cand: rd.Dataset,

@@ -539,6 +539,182 @@ WHERE ROUND(CAST(i.c AS DOUBLE) / (sa.m + sb.m - i.c), 4) >= {threshold}
 
 
 # ---------------------------------------------------------------------------
+# exact containment near-dup — asymmetric prefix-filtered join
+#
+# Max-containment |A∩B| / min(|A|,|B|) catches PARTIAL duplicates that
+# symmetric Jaccard misses: a paragraph quoted inside a much longer
+# document has tiny Jaccard but containment 1.0. Exact under an
+# asymmetric prefix filter: for a pair with ma <= mb and containment
+# >= t the intersection is >= ceil(t*ma), so the smaller side's
+# DF-ordered prefix of length ma - ceil(t*ma) + 1 must share a gram
+# with the LARGER side's FULL set (if the prefix missed entirely, at
+# most ma - p = ceil(t*ma) - 1 shared grams remain). Hence the explode
+# carries every (gram, doc) row once, flagged prefix-or-not, and pair
+# generation crosses prefix rows against whole posting lists. The full
+# explode is the inherent cost of an exact containment join (same
+# order as the SQL oracle's gram self-join input); the approximate
+# scale path for containment-ish recall remains MinHash-LSH.
+
+
+def doc_containment_near_dups(sf_dir: str, threshold: float = 0.8,
+                              shingle_k: int = 3) -> pd.DataFrame:
+    """All pairs with word-``shingle_k``-gram max-containment
+    |A∩B| / min(|A|,|B|) >= ``threshold``.
+
+    DF-ordered flagged explode (one row per (gram, doc), prefix flag)
+    → groupby(gram) prefix-rows × full-posting cross pairs with the
+    smaller-side orientation filter → pair-distinct groupby →
+    DISTRIBUTED exact verification (verify_pairs_containment). Exact
+    ⇒ carries a full SQL oracle (containment_sql)."""
+    import math
+
+    import ray
+
+    docs = _ctable(sf_dir, "documents", columns=["doc_id", "text"])
+    t = threshold
+    df_handle = ray.put(_sample_gram_df(sf_dir, shingle_k))
+
+    class FlaggedRows:
+        def __init__(self, h):
+            self.df_keys, self.df_vals = ray.get(h)
+
+        def _ordered(self, h: np.ndarray) -> np.ndarray:
+            idx = np.searchsorted(self.df_keys, h)
+            idx = np.minimum(idx, max(len(self.df_keys) - 1, 0))
+            df = np.ones(h.size, dtype=np.int32)
+            if len(self.df_keys):
+                hit = self.df_keys[idx] == h
+                df[hit] = self.df_vals[idx[hit]]
+            return h[np.lexsort((h, df))]  # rare first, hash tiebreak
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            grams_out, ids_out, m_out, pfx_out = [], [], [], []
+            for i, text in enumerate(b["text"].to_pylist()):
+                h = _shingle_hashes(text or "", shingle_k)
+                m = h.size
+                if m == 0:
+                    continue
+                p = m - math.ceil(t * m) + 1  # probe prefix for threshold t
+                flags = np.zeros(m, np.int8)
+                flags[:p] = 1
+                grams_out.append(self._ordered(h))
+                ids_out.append(np.full(m, ids[i], np.int64))
+                m_out.append(np.full(m, m, np.int32))
+                pfx_out.append(flags)
+            if not grams_out:
+                return pa.Table.from_pydict({
+                    "gram": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "m": pa.array([], pa.int32()),
+                    "pfx": pa.array([], pa.int8())})
+            return pa.Table.from_pydict({
+                "gram": pa.array(np.concatenate(grams_out).view(np.int64)),
+                "doc_id": pa.array(np.concatenate(ids_out)),
+                "m": pa.array(np.concatenate(m_out)),
+                "pfx": pa.array(np.concatenate(pfx_out)),
+            })
+
+    def flagged_rows(b: pa.Table) -> pa.Table:
+        return FlaggedRows(df_handle)(b)
+
+    def posting_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # Whole-bucket vectorized: one sort puts prefix rows first
+        # within each gram run; cross pairs = each run's prefix rows ×
+        # the run's ENTIRE posting list (a doc appears once per run, so
+        # same-doc pairs are exactly p_idx == i_idx). The smaller-side
+        # orientation filter (m_p <= m_i) keeps only pairs the prefix
+        # lemma actually covers; equal-size pairs surface in both
+        # orientations and collapse in the pair-distinct groupby.
+        empty = pd.DataFrame({"doc_id_a": pd.Series([], dtype="int64"),
+                              "doc_id_b": pd.Series([], dtype="int64")})
+        if g.empty:
+            return empty
+        gram = g["gram"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        ms = g["m"].to_numpy()
+        pfx = g["pfx"].to_numpy().astype(np.int64)
+        order = np.lexsort((1 - pfx, gram))
+        gram, ids, ms, pfx = gram[order], ids[order], ms[order], pfx[order]
+        starts = np.flatnonzero(np.r_[True, gram[1:] != gram[:-1]])
+        lens = np.diff(np.r_[starts, gram.size])
+        nprobe = np.add.reduceat(pfx, starts)
+        c = nprobe * lens
+        tot = int(c.sum())
+        if tot == 0:
+            return empty
+        run = np.repeat(np.arange(starts.size), c)
+        j = np.arange(tot, dtype=np.int64) - np.repeat(
+            np.r_[0, np.cumsum(c)[:-1]], c)
+        L = lens[run]
+        p_idx = starts[run] + j // L
+        i_idx = starts[run] + j % L
+        keep = (p_idx != i_idx) & (ms[p_idx] <= ms[i_idx]) \
+            & (ids[p_idx] != ids[i_idx])
+        pa_, pb_ = ids[p_idx[keep]], ids[i_idx[keep]]
+        return pd.DataFrame({"doc_id_a": np.minimum(pa_, pb_),
+                             "doc_id_b": np.maximum(pa_, pb_)})
+
+    from tag_ray.functions.grouping import (coarse_bucket_apply,
+                                            grouped_aggregate)
+
+    cand = grouped_aggregate(
+        coarse_bucket_apply(
+            docs.map_batches(flagged_rows, batch_format="pyarrow"),
+            ["gram"], posting_bucket),
+        ["doc_id_a", "doc_id_b"], {"n": (None, "count")})
+
+    from tag_ray.functions.verify import verify_pairs_containment
+
+    cand = cand.map_batches(
+        lambda tt: pa.Table.from_pydict({
+            "doc_id_a": tt["doc_id_a"].cast(pa.int64()),
+            "doc_id_b": tt["doc_id_b"].cast(pa.int64())}),
+        batch_format="pyarrow").materialize()
+    cols = {"doc_id_a": "int64", "doc_id_b": "int64",
+            "containment": "float64"}
+    if cand.count() == 0:
+        return _empty_pairs_df(cols)
+    k = shingle_k
+    out = verify_pairs_containment(
+        docs, cand, t,
+        feature_fn=lambda x: _shingle_hashes(x or "", k)).to_pandas()
+    if out.empty:
+        return _empty_pairs_df(cols)
+    return out.sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True) \
+        .astype({"doc_id_a": "int64", "doc_id_b": "int64"})
+
+
+def containment_sql(threshold: float = 0.8, k: int = 3) -> str:
+    """Exact word-k-gram max-containment all-pairs (oracle; k=3)."""
+    assert k == 3
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) t
+  WHERE len(w) >= 3
+  UNION
+  SELECT doc_id, array_to_string(w, ' ') AS g FROM toks WHERE len(w) < 3
+),
+sizes AS (SELECT doc_id, COUNT(*) AS m FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS c
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_id_a, i.doc_id_b,
+       ROUND(CAST(i.c AS DOUBLE) / LEAST(sa.m, sb.m), 4) AS containment
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_id_a
+JOIN sizes sb ON sb.doc_id = i.doc_id_b
+WHERE ROUND(CAST(i.c AS DOUBLE) / LEAST(sa.m, sb.m), 4) >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
 # SimHash near-dup — reuses the banded-64-bit engine built for phash
 
 
