@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_pareto_customers": R.orders_pareto_customers,
         "events_rolling_active_users": R.events_rolling_active_users,
         "part_fuzzy_name_pairs": D.part_fuzzy_name_pairs,
+        "doc_containment_near_dups": D.doc_containment_near_dups,
         # --- (2) oracle-carrying, driver-green in r02; changed-this-round
         # first ---
         "top_customers": R.top_customers,
@@ -210,7 +211,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_counts": T.doc_lang_counts,
         "doc_token_stats": T.doc_token_stats,
         "doc_fingerprint": T.doc_fingerprint,
-        "doc_containment_near_dups": D.doc_containment_near_dups,
         # --- (3) no-oracle (rows-only) entries ---
         "img_validate": img_validate,
         "img_partition_status": img_partition_status,
