@@ -211,6 +211,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_counts": T.doc_lang_counts,
         "doc_token_stats": T.doc_token_stats,
         "doc_fingerprint": T.doc_fingerprint,
+        "q6_forecast_revenue": R.q6_forecast_revenue,
+        "q14_promo_share": R.q14_promo_share,
+        "q19_bracket_revenue": R.q19_bracket_revenue,
+        "events_props_stats": R.events_props_stats,
+        "events_daily_anomaly": R.events_daily_anomaly,
+        "doc_unigram_surprisal": T.doc_unigram_surprisal,
         # --- (3) no-oracle (rows-only) entries ---
         "img_validate": img_validate,
         "img_partition_status": img_partition_status,
@@ -328,4 +334,10 @@ def oracle_sql() -> dict[str, str]:
         "events_rolling_active_users": R.rolling_active_sql(),
         "part_fuzzy_name_pairs": D.FUZZY_NAME_SQL,
         "doc_containment_near_dups": D.containment_sql(),
+        "q6_forecast_revenue": R.Q6_SQL,
+        "q14_promo_share": R.Q14_SQL,
+        "q19_bracket_revenue": R.Q19_SQL,
+        "events_props_stats": R.PROPS_STATS_SQL,
+        "events_daily_anomaly": R.DAILY_ANOMALY_SQL,
+        "doc_unigram_surprisal": T.UNIGRAM_SURPRISAL_SQL,
     }

@@ -2548,3 +2548,345 @@ off AS (SELECT unnest(generate_series(0, {window - 1})) AS i),
 cov AS (SELECT DISTINCT user_id, day + i AS day FROM ud CROSS JOIN off)
 SELECT day, COUNT(*) AS wau FROM cov GROUP BY day
 """
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 shape — forecast revenue change: pure scan → filter →
+# single-cell aggregate. The minimal "does the engine push predicates
+# and combine map-side" probe: every block collapses to one int64
+# partial before the (trivial) exchange; money is integer cents.
+
+
+def q6_forecast_revenue(sf_dir: str) -> pd.DataFrame:
+    li = _ctable(sf_dir, "lineitem",
+                 columns=["l_shipdate", "l_discount", "l_quantity",
+                          "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.and_(
+            pc.greater_equal(b["l_shipdate"],
+                             pa.scalar(pd.Timestamp("1996-01-01"))),
+            pc.less(b["l_shipdate"], pa.scalar(pd.Timestamp("1997-01-01")))),
+            pc.and_(
+                pc.and_(pc.greater_equal(b["l_discount"], 0.05),
+                        pc.less_equal(b["l_discount"], 0.07)),
+                pc.less(b["l_quantity"], 24.0))))
+        rev = _cents(b["l_extendedprice"].to_numpy(zero_copy_only=False)
+                     * b["l_discount"].to_numpy(zero_copy_only=False))
+        return pa.Table.from_pydict({
+            "s": pa.array([int(rev.sum())], pa.int64()),
+            "n": pa.array([b.num_rows], pa.int64())})
+
+    p = li.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n = int(p["n"].sum()) if len(p) else 0
+    # SQL SUM over zero rows is NULL, not 0 — mirror it
+    rev = float(p["s"].sum()) / 100.0 if n else float("nan")
+    return pd.DataFrame({"revenue": [rev]})
+
+
+Q6_SQL = """
+SELECT CAST(SUM(CAST(round(l_extendedprice*l_discount*100) AS BIGINT))
+            AS BIGINT)/100.0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 shape — promo revenue share: the "what fraction of the fact
+# table's measure belongs to a dimension-defined class" probe. The
+# dimension class (PROMO part keys) is a key-set MEMBERSHIP, so it
+# routes through functions/keyjoin.filter_by_key_set — byte-gated
+# broadcast below the limit, distributed hash semi-join above it; the
+# skinny (partkey, cents) rows are materialized once and consumed by
+# both the total and the promo partial sums. Share parity: both sums
+# are exact int64 cents, the one float division replicates the SQL
+# expression order, rounding half-away to 4 decimals.
+
+
+def q14_promo_share(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    from tag_ray.functions.keyjoin import filter_by_key_set
+    from tag_ray.sources import table_path
+
+    li = _ctable(sf_dir, "lineitem",
+                 columns=["l_partkey", "l_extendedprice", "l_discount",
+                          "l_shipdate"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(
+            pc.greater_equal(b["l_shipdate"],
+                             pa.scalar(pd.Timestamp("1996-01-01"))),
+            pc.less(b["l_shipdate"], pa.scalar(pd.Timestamp("1997-01-01")))))
+        rev = _cents(b["l_extendedprice"].to_numpy(zero_copy_only=False)
+                     * (1.0 - b["l_discount"].to_numpy(zero_copy_only=False)))
+        return pa.Table.from_pydict({
+            "l_partkey": b["l_partkey"], "rev_c": pa.array(rev)})
+
+    rows = li.map_batches(derive, batch_format="pyarrow").materialize()
+
+    promo_keys = _ctable(sf_dir, "part", columns=["p_partkey", "p_type"]) \
+        .map_batches(lambda b: b.filter(pc.equal(b["p_type"], "PROMO"))
+                     .select(["p_partkey"]), batch_format="pyarrow")
+    n_part = pq.ParquetFile(table_path(sf_dir, "part")).metadata.num_rows
+    promo = filter_by_key_set(rows, "l_partkey", promo_keys, "p_partkey",
+                              est_rows=n_part)
+
+    def partial(b: pa.Table) -> pa.Table:
+        s = pc.sum(b["rev_c"]).as_py() or 0
+        return pa.Table.from_pydict({
+            "s": pa.array([int(s)], pa.int64()),
+            "n": pa.array([b.num_rows], pa.int64())})
+
+    pt = rows.map_batches(partial, batch_format="pyarrow").to_pandas()
+    pp = promo.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n_total = int(pt["n"].sum()) if len(pt) else 0
+    if n_total == 0:  # SQL aggregates over zero rows → one NULL row
+        nan = float("nan")
+        return pd.DataFrame({"promo_revenue": [nan], "total_revenue": [nan],
+                             "promo_share": [nan]})
+    total_c = int(pt["s"].sum())
+    promo_c = int(pp["s"].sum()) if len(pp) else 0
+    return pd.DataFrame({
+        "promo_revenue": [promo_c / 100.0],
+        "total_revenue": [total_c / 100.0],
+        "promo_share": [float(round_half_away(
+            np.array([100.0 * float(promo_c) / float(total_c)]), 4)[0])]})
+
+
+Q14_SQL = """
+WITH r AS (
+  SELECT l_partkey,
+         CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT) AS rev_c
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01')
+SELECT CAST(SUM(CASE WHEN l_partkey IN
+                  (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+                THEN rev_c ELSE 0 END) AS BIGINT)/100.0 AS promo_revenue,
+       CAST(SUM(rev_c) AS BIGINT)/100.0 AS total_revenue,
+       ROUND(100.0 * CAST(SUM(CASE WHEN l_partkey IN
+                  (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+                THEN rev_c ELSE 0 END) AS BIGINT)
+             / CAST(SUM(rev_c) AS BIGINT), 4) AS promo_share
+FROM r
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 shape — bracketed discounted revenue: a fact↔dimension join
+# whose predicate needs BOTH sides' attributes (brand+size from part,
+# quantity from lineitem), so membership alone can't express it. The
+# part side is pre-filtered to the brackets (brands are disjoint, so a
+# part matches at most one bracket and carries that bracket's quantity
+# bounds), then both sides co-locate via ONE coarse-bucket exchange on
+# the part key — never a broadcast: part scales with SF in TPC-H, and
+# the tagged-union join is the same partitioned machinery as
+# big_quantity_orders. Each bucket emits one int64 partial.
+
+Q19_BRACKETS = (("Brand#3", 1, 15, 1, 15),
+                ("Brand#13", 1, 25, 10, 30),
+                ("Brand#23", 1, 35, 20, 40))
+
+
+def q19_bracket_revenue(sf_dir: str) -> pd.DataFrame:
+    from tag_ray.functions.grouping import coarse_bucket_apply
+
+    def tag_part(b: pa.Table) -> pa.Table:
+        brand = b["p_brand"].to_numpy(zero_copy_only=False)
+        size = b["p_size"].to_numpy(zero_copy_only=False)
+        qlo = np.zeros(b.num_rows, np.float64)
+        qhi = np.zeros(b.num_rows, np.float64)
+        keep = np.zeros(b.num_rows, bool)
+        for br, slo, shi, lo, hi in Q19_BRACKETS:
+            m = (brand == br) & (size >= slo) & (size <= shi)
+            qlo[m], qhi[m] = lo, hi
+            keep |= m
+        return pa.Table.from_pydict({
+            "key": pa.array(b["p_partkey"].to_numpy(
+                zero_copy_only=False)[keep].astype(np.int64)),
+            "qlo": pa.array(qlo[keep]), "qhi": pa.array(qhi[keep]),
+            "qty": pa.array(np.zeros(int(keep.sum()), np.float64)),
+            "cents": pa.array(np.zeros(int(keep.sum()), np.int64)),
+            "side": pa.array(np.ones(int(keep.sum()), np.int8))})
+
+    def tag_li(b: pa.Table) -> pa.Table:
+        rev = _cents(b["l_extendedprice"].to_numpy(zero_copy_only=False)
+                     * (1.0 - b["l_discount"].to_numpy(zero_copy_only=False)))
+        return pa.Table.from_pydict({
+            "key": b["l_partkey"].cast(pa.int64()),
+            "qlo": pa.array(np.zeros(b.num_rows, np.float64)),
+            "qhi": pa.array(np.zeros(b.num_rows, np.float64)),
+            "qty": b["l_quantity"].cast(pa.float64()),
+            "cents": pa.array(rev),
+            "side": pa.array(np.zeros(b.num_rows, np.int8))})
+
+    part = _ctable(sf_dir, "part",
+                   columns=["p_partkey", "p_brand", "p_size"]) \
+        .map_batches(tag_part, batch_format="pyarrow")
+    li = _ctable(sf_dir, "lineitem",
+                 columns=["l_partkey", "l_quantity", "l_extendedprice",
+                          "l_discount"]) \
+        .map_batches(tag_li, batch_format="pyarrow")
+
+    def bucket_sum(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy() == 1
+        pk = g["key"].to_numpy()[side]
+        out = {"s": pd.Series([], dtype="int64")}
+        if len(pk) == 0:
+            return pd.DataFrame(out)
+        lo = pd.Series(g["qlo"].to_numpy()[side], index=pk)
+        hi = pd.Series(g["qhi"].to_numpy()[side], index=pk)
+        f = g[~side]
+        k = f["key"].to_numpy()
+        # Series.map value-alignment (NOT merge/right_index — the
+        # empty-side index-naming pitfall), NaN ⇒ no bracket part
+        flo = pd.Series(k).map(lo).to_numpy()
+        fhi = pd.Series(k).map(hi).to_numpy()
+        q = f["qty"].to_numpy()
+        m = (q >= flo) & (q <= fhi)  # NaN compares false
+        return pd.DataFrame({"s": pd.Series(
+            [int(f["cents"].to_numpy()[m].sum())], dtype="int64")})
+
+    p = coarse_bucket_apply(part.union(li), ["key"], bucket_sum).to_pandas()
+    if len(p) == 0 or int(p["s"].count()) == 0:
+        return pd.DataFrame({"revenue": [float("nan")]})
+    return pd.DataFrame({"revenue": [int(p["s"].sum()) / 100.0]})
+
+
+Q19_SQL = f"""
+SELECT CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))
+            AS BIGINT)/100.0 AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = '{Q19_BRACKETS[0][0]}'
+       AND p_size BETWEEN {Q19_BRACKETS[0][1]} AND {Q19_BRACKETS[0][2]}
+       AND l_quantity BETWEEN {Q19_BRACKETS[0][3]} AND {Q19_BRACKETS[0][4]})
+   OR (p_brand = '{Q19_BRACKETS[1][0]}'
+       AND p_size BETWEEN {Q19_BRACKETS[1][1]} AND {Q19_BRACKETS[1][2]}
+       AND l_quantity BETWEEN {Q19_BRACKETS[1][3]} AND {Q19_BRACKETS[1][4]})
+   OR (p_brand = '{Q19_BRACKETS[2][0]}'
+       AND p_size BETWEEN {Q19_BRACKETS[2][1]} AND {Q19_BRACKETS[2][2]}
+       AND l_quantity BETWEEN {Q19_BRACKETS[2][3]} AND {Q19_BRACKETS[2][4]})
+"""
+
+
+# ---------------------------------------------------------------------------
+# typed KV extraction from a semi-structured string column: parse the
+# numeric `k` out of the events.props JSON and aggregate per type —
+# the reference's KV-frame parse (M25, /root/reference/id3v2frames.go
+# comment/UFID KV decode) as a columnar regex kernel. The extraction
+# regex uses an explicit ASCII class ([ \\t\\n\\r], [0-9]) so Python re
+# and DuckDB RE2 can never diverge on Unicode whitespace/digits (the
+# canonical_text lesson). Map-side combine: each block collapses to
+# ≤|types| partial rows before the (tiny) grouped merge.
+
+
+def events_props_stats(sf_dir: str) -> rd.Dataset:
+    from tag_ray.functions.grouping import grouped_aggregate
+
+    ev = _ctable(sf_dir, "events", columns=["event_type", "props"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        s = b["props"].to_pandas().astype("string")
+        k = s.str.extract(r'"k":[ \t\n\r]*(-?[0-9]+)', expand=False)
+        ok = k.notna().to_numpy()
+        d = pd.DataFrame({
+            "event_type": b["event_type"].to_numpy(
+                zero_copy_only=False)[ok],
+            "k": k[ok].astype("int64").to_numpy()})
+        g = (d.groupby("event_type", sort=False)
+             .agg(n_k=("k", "size"), sum_k=("k", "sum"),
+                  min_k=("k", "min"), max_k=("k", "max")).reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ev.map_batches(partial, batch_format="pyarrow")
+    return grouped_aggregate(partials, ["event_type"],
+                             {"n_k": ("n_k", "sum"),
+                              "sum_k": ("sum_k", "sum"),
+                              "min_k": ("min_k", "min"),
+                              "max_k": ("max_k", "max")})
+
+
+PROPS_STATS_SQL = r"""
+WITH x AS (
+  SELECT event_type,
+         CAST(NULLIF(regexp_extract(props, '"k":[ \t\n\r]*(-?[0-9]+)', 1),
+                     '') AS BIGINT) AS k
+  FROM events)
+SELECT event_type, CAST(COUNT(k) AS BIGINT) AS n_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k
+FROM x WHERE k IS NOT NULL GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# daily-count anomaly flags: for each (event_type, day), is the day's
+# event count more than 3 population-σ above the type's mean? The
+# whole test is EXACT INTEGER arithmetic — "c > S/n + 3·sqrt(var)"
+# rearranged (multiply by n, square the non-negative sides) into
+# (n·c − S)² > 9·(n·SS − S²) over Python ints, so there is no float
+# mean/stddev to drift against the oracle. Daily counts come from one
+# coarse-bucket aggregate; the per-type reduce co-locates each type's
+# (calendar-bounded) day rows via a second coarse bucket — no driver
+# materialization at any type cardinality.
+
+
+def events_daily_anomaly(sf_dir: str) -> rd.Dataset:
+    from tag_ray.functions.grouping import coarse_bucket_apply, grouped_aggregate
+
+    ev = _ctable(sf_dir, "events", columns=["event_type", "ts"])
+
+    def days(b: pa.Table) -> pa.Table:
+        d = (b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+             // 86_400_000_000)
+        return pa.Table.from_pydict({
+            "event_type": b["event_type"], "day": pa.array(d)})
+
+    daily = grouped_aggregate(ev.map_batches(days, batch_format="pyarrow"),
+                              ["event_type", "day"], {"n": (None, "count")})
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for et, grp in g.groupby("event_type", sort=False):
+            # Python ints: n·SS − S² overflows int64 at corpus scale
+            cnts = [int(x) for x in grp["n"]]
+            n, s = len(cnts), sum(cnts)
+            ss = sum(c * c for c in cnts)
+            var9 = 9 * (n * ss - s * s)
+            an = [(n * c - s) > 0 and (n * c - s) ** 2 > var9 for c in cnts]
+            outs.append(pd.DataFrame({
+                "event_type": et,
+                "day": grp["day"].astype("int64").to_numpy(),
+                "n": grp["n"].astype("int64").to_numpy(),
+                "is_anomaly": np.array(an, dtype=bool)}))
+        if not outs:
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=object),
+                "day": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64"),
+                "is_anomaly": pd.Series([], dtype=bool)})
+        return pd.concat(outs, ignore_index=True)
+
+    return coarse_bucket_apply(daily, ["event_type"], flag)
+
+
+DAILY_ANOMALY_SQL = """
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+s AS (
+  SELECT event_type, COUNT(*) AS nd, SUM(n) AS sn, SUM(n*n) AS ssn
+  FROM d GROUP BY 1)
+SELECT d.event_type, d.day, CAST(d.n AS BIGINT) AS n,
+       (CAST(s.nd AS HUGEINT)*d.n - s.sn > 0 AND
+        (CAST(s.nd AS HUGEINT)*d.n - s.sn)
+          * (CAST(s.nd AS HUGEINT)*d.n - s.sn)
+          > 9*(CAST(s.nd AS HUGEINT)*CAST(s.ssn AS HUGEINT)
+               - CAST(s.sn AS HUGEINT)*CAST(s.sn AS HUGEINT)))
+         AS is_anomaly
+FROM d JOIN s USING (event_type)
+"""

@@ -1473,3 +1473,70 @@ SELECT doc_id, new_words,
        CAST(SUM(new_words) OVER (ORDER BY doc_id) AS BIGINT) AS cum_vocab
 FROM nd
 """
+
+# ---------------------------------------------------------------------------
+# unigram-LM surprisal score: per-document total negative-log-likelihood
+# under the corpus's own unigram model — the CCNet-style "how unusual is
+# this document's vocabulary" quality signal (rare-token docs score
+# high-surprisal). Same two-shuffle shape as TF-IDF / mean-term-freq
+# (term-keyed corpus-count join-back, doc-keyed aggregate). Oracle
+# parity is EXACT despite the ln(): the per-TERM log-probability is
+# quantized to integer micro-nats once (identical double input →
+# identical libm log → identical half-away round on both engines), and
+# everything after that is int64 sums. Reference role: the per-record
+# scoring pass of `tag.ReadFrom` consumers (/root/reference/tag.go) —
+# a derived per-record metric computed against corpus-global state.
+
+
+def doc_unigram_surprisal(sf_dir: str) -> rd.Dataset:
+    import pyarrow.compute as pc
+
+    from tag_ray.functions.grouping import coarse_bucket_apply, grouped_aggregate
+
+    docs = _ctable(sf_dir, "documents", columns=["doc_id", "text"])
+    tf = docs.map_batches(_tf_rows_fn(), batch_format="pyarrow").materialize()
+    tc = grouped_aggregate(tf, ["term"], {"tc": ("tf", "sum")})
+
+    # corpus token total: exact int64 — one partial per block, the
+    # driver folds O(blocks) scalars (same accounting as lineitem_corr)
+    parts = tf.map_batches(
+        lambda b: pa.Table.from_pydict({"s": pa.array(
+            [int(pc.sum(b["tf"]).as_py() or 0)], pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    n_total = int(parts["s"].sum()) if len(parts) else 0
+
+    joined = _attach_term_stat(tf, tc, "tc")
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        # micro-nats per term occurrence: round(ln(tc/N)·1e6), half-away
+        # like DuckDB ROUND; -ln so the score is a positive surprisal
+        micro = round_half_away(
+            np.log(g["tc"].to_numpy(dtype=np.float64) / float(n_total))
+            * 1e6, 0).astype(np.int64)
+        agg = (g.assign(sm=g["tf"].to_numpy(dtype=np.int64) * -micro)
+               .groupby("doc_id", sort=False)
+               .agg(n=("tf", "sum"), sm=("sm", "sum")).reset_index())
+        return pd.DataFrame({
+            "doc_id": agg["doc_id"].to_numpy(),
+            "n_tokens": agg["n"].astype("int64").to_numpy(),
+            "surprisal_micro": agg["sm"].astype("int64").to_numpy()})
+
+    return coarse_bucket_apply(joined, ["doc_id"], per_doc)
+
+
+UNIGRAM_SURPRISAL_SQL = """
+WITH tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        FROM documents)
+  GROUP BY doc_id, term
+), tc AS (
+  SELECT term, SUM(tf) AS tc FROM tf GROUP BY term
+), n AS (SELECT SUM(tf) AS n FROM tf)
+SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+       CAST(SUM(tf.tf * -CAST(round(ln(CAST(tc.tc AS DOUBLE) / n.n)
+                                    * 1000000) AS BIGINT)) AS BIGINT)
+         AS surprisal_micro
+FROM tf JOIN tc ON tf.term = tc.term CROSS JOIN n
+GROUP BY tf.doc_id
+"""

@@ -18,7 +18,8 @@ import pytest
 def empty_dir(tmp_path_factory):
     d = tmp_path_factory.mktemp("empty_sf")
     src = "/root/testdata/sf0.001"
-    for t in ("events", "orders", "documents", "lineitem", "embeddings"):
+    for t in ("events", "orders", "documents", "lineitem", "embeddings",
+              "part"):
         schema = pq.read_schema(f"{src}/{t}.parquet")
         pq.write_table(schema.empty_table(), str(d / f"{t}.parquet"))
     return str(d)
@@ -37,6 +38,14 @@ def empty_dir(tmp_path_factory):
     # not ZeroDivisionError inside the per-subspace k-means
     ("emb_pq_encode", 0),
     ("emb_ivfpq_topk", 0),
+    # single-cell SQL aggregates over zero rows emit ONE NULL row — the
+    # engines return a 1-row NaN frame to match
+    ("q6_forecast_revenue", 1),
+    ("q14_promo_share", 1),
+    ("q19_bracket_revenue", 1),
+    ("events_props_stats", 0),
+    ("events_daily_anomaly", 0),
+    ("doc_unigram_surprisal", 0),
 ])
 def test_empty_input_matches_oracle_shape(ray_session, empty_dir, name,
                                           want_rows):
