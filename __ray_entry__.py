@@ -217,6 +217,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_stats": R.events_props_stats,
         "events_daily_anomaly": R.events_daily_anomaly,
         "doc_unigram_surprisal": T.doc_unigram_surprisal,
+        "q4_priority_exists_count": R.q4_priority_exists_count,
+        "q13_order_count_distribution": R.q13_order_count_distribution,
+        "q17_small_quantity_revenue": R.q17_small_quantity_revenue,
+        "q22_idle_balance_customers": R.q22_idle_balance_customers,
+        "doc_bigram_surprisal": T.doc_bigram_surprisal,
         # --- (3) no-oracle (rows-only) entries ---
         "img_validate": img_validate,
         "img_partition_status": img_partition_status,
@@ -340,4 +345,9 @@ def oracle_sql() -> dict[str, str]:
         "events_props_stats": R.PROPS_STATS_SQL,
         "events_daily_anomaly": R.DAILY_ANOMALY_SQL,
         "doc_unigram_surprisal": T.UNIGRAM_SURPRISAL_SQL,
+        "q4_priority_exists_count": R.Q4_SQL,
+        "q13_order_count_distribution": R.Q13_SQL,
+        "q17_small_quantity_revenue": R.q17_sql(),
+        "q22_idle_balance_customers": R.Q22_SQL,
+        "doc_bigram_surprisal": T.BIGRAM_SURPRISAL_SQL,
     }

@@ -2890,3 +2890,295 @@ SELECT d.event_type, d.day, CAST(d.n AS BIGINT) AS n,
          AS is_anomaly
 FROM d JOIN s USING (event_type)
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 shape — EXISTS semi-join count: orders in a quarter having
+# at least one returned lineitem, counted per priority. The key side is
+# a filtered, column-pruned lineitem read routed through the byte-gated
+# filter_by_key_set (broadcast pc.is_in below the limit, distributed
+# hash semi-join above — the fact key column never lands on the driver
+# at scale). Counts pre-combine map-side to ≤|priorities| rows/block.
+
+
+def q4_priority_exists_count(sf_dir: str) -> rd.Dataset:
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from tag_ray.functions.grouping import grouped_aggregate
+    from tag_ray.functions.keyjoin import filter_by_key_set
+    from tag_ray.sources import table_path
+
+    orders = _ctable(sf_dir, "orders",
+                     columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def in_quarter(b: pa.Table) -> pa.Table:
+        return b.filter(pc.and_(
+            pc.greater_equal(b["o_orderdate"],
+                             pa.scalar(pd.Timestamp("1996-01-01"))),
+            pc.less(b["o_orderdate"], pa.scalar(pd.Timestamp("1996-04-01")))))
+
+    est = pq.ParquetFile(table_path(sf_dir, "lineitem")).metadata.num_rows
+    returned = rd.read_parquet(
+        table_path(sf_dir, "lineitem"), columns=["l_orderkey"],
+        filter=pads.field("l_returnflag") == "R")
+    hit = filter_by_key_set(orders.map_batches(in_quarter,
+                                               batch_format="pyarrow"),
+                            "o_orderkey", returned, "l_orderkey",
+                            est_rows=est)
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (pd.DataFrame({"o_orderpriority": b["o_orderpriority"]
+                           .to_pandas()})
+             .groupby("o_orderpriority", sort=False)
+             .size().rename("order_count").reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return grouped_aggregate(hit.map_batches(partial, batch_format="pyarrow"),
+                             ["o_orderpriority"],
+                             {"order_count": ("order_count", "sum")})
+
+
+Q4_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 shape — customer order-count distribution INCLUDING the
+# zero bucket (the LEFT JOIN that plain groupby can't see). Per-key
+# counts come from one coarse-bucket aggregate over the fact table;
+# the semi-filter to real customers is byte-gated; the zero bucket is
+# pure arithmetic — exact table row count (parquet metadata) minus the
+# sum of the (tiny, ≤max-orders-per-customer distinct values)
+# distribution — so NO pass ever joins the full customer table.
+
+
+def q13_order_count_distribution(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    from tag_ray.functions.grouping import grouped_aggregate
+    from tag_ray.functions.keyjoin import filter_by_key_set
+    from tag_ray.sources import table_path
+
+    orders = _ctable(sf_dir, "orders", columns=["o_custkey"])
+    per_cust = grouped_aggregate(orders, ["o_custkey"],
+                                 {"c_count": (None, "count")})
+    n_cust = pq.ParquetFile(table_path(sf_dir, "customer")).metadata.num_rows
+    cust_keys = _ctable(sf_dir, "customer", columns=["c_custkey"])
+    present = filter_by_key_set(per_cust, "o_custkey", cust_keys,
+                                "c_custkey", est_rows=n_cust)
+    dist = grouped_aggregate(present, ["c_count"],
+                             {"custdist": (None, "count")}).to_pandas()
+    if len(dist) == 0:
+        dist = pd.DataFrame({"c_count": pd.Series([], dtype="int64"),
+                             "custdist": pd.Series([], dtype="int64")})
+    zero = n_cust - int(dist["custdist"].sum())
+    if zero > 0:
+        dist = pd.concat([dist, pd.DataFrame({"c_count": [0],
+                                              "custdist": [zero]})],
+                         ignore_index=True)
+    return pd.DataFrame({"c_count": dist["c_count"].astype("int64"),
+                         "custdist": dist["custdist"].astype("int64")})
+
+
+Q13_SQL = """
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (SELECT c.c_custkey, COUNT(o.o_custkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey)
+GROUP BY c_count
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 shape — correlated-average filter: revenue of lineitems
+# whose quantity is below 20% of their part's average, over one brand.
+# The correlated AVG never becomes a float: quantities are integral, so
+# "qty < 0.2 · (sq/n)" is the exact integer test 5·qty·n < sq, decided
+# inside the bucket that co-locates each part's stats row with its fact
+# rows (same tagged-union exchange as q19 — part scales with SF, never
+# a broadcast). Only the brand's lineitems survive the byte-gated
+# membership filter before the exchange.
+
+
+def q17_small_quantity_revenue(sf_dir: str,
+                               brand: str = "Brand#23") -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    from tag_ray.functions.grouping import (coarse_bucket_apply,
+                                            grouped_aggregate)
+    from tag_ray.functions.keyjoin import filter_by_key_set
+    from tag_ray.sources import table_path
+
+    brand_keys = _ctable(sf_dir, "part", columns=["p_partkey", "p_brand"]) \
+        .map_batches(lambda b: b.filter(pc.equal(b["p_brand"], brand))
+                     .select(["p_partkey"]), batch_format="pyarrow")
+    n_part = pq.ParquetFile(table_path(sf_dir, "part")).metadata.num_rows
+
+    li = _ctable(sf_dir, "lineitem",
+                 columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "key": b["l_partkey"].cast(pa.int64()),
+            "qty": b["l_quantity"].cast(pa.int64()),
+            "cents": pa.array(_cents(
+                b["l_extendedprice"].to_numpy(zero_copy_only=False)))})
+
+    facts = filter_by_key_set(
+        li.map_batches(derive, batch_format="pyarrow"), "key",
+        brand_keys, "p_partkey", est_rows=n_part).materialize()
+    stats = grouped_aggregate(facts, ["key"],
+                              {"n": (None, "count"), "sq": ("qty", "sum")})
+
+    def tag_stats(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "key": b["key"], "qty": b["sq"].cast(pa.int64()),
+            "cents": b["n"].cast(pa.int64()),
+            "side": pa.array(np.ones(b.num_rows, np.int8))})
+
+    def tag_facts(b: pa.Table) -> pa.Table:
+        return b.append_column("side",
+                               pa.array(np.zeros(b.num_rows, np.int8)))
+
+    tagged = stats.map_batches(tag_stats, batch_format="pyarrow").union(
+        facts.map_batches(tag_facts, batch_format="pyarrow"))
+
+    def bucket_sum(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy() == 1
+        sk = g["key"].to_numpy()[side]
+        if len(sk) == 0:
+            return pd.DataFrame({"s": pd.Series([], dtype="int64")})
+        # stats rows smuggle (sq, n) in the (qty, cents) slots
+        sq = pd.Series(g["qty"].to_numpy()[side], index=sk)
+        n = pd.Series(g["cents"].to_numpy()[side], index=sk)
+        f = g[~side]
+        k = f["key"].to_numpy()
+        fsq = pd.Series(k).map(sq).to_numpy(dtype=np.int64)
+        fn = pd.Series(k).map(n).to_numpy(dtype=np.int64)
+        m = 5 * f["qty"].to_numpy() * fn < fsq
+        return pd.DataFrame({"s": pd.Series(
+            [int(f["cents"].to_numpy()[m].sum())], dtype="int64")})
+
+    p = coarse_bucket_apply(tagged, ["key"], bucket_sum).to_pandas()
+    if len(p) == 0 or int(p["s"].count()) == 0:
+        return pd.DataFrame({"avg_yearly": [float("nan")]})
+    return pd.DataFrame({"avg_yearly": [int(p["s"].sum()) / 7.0 / 100.0]})
+
+
+def q17_sql(brand: str = "Brand#23") -> str:
+    return f"""
+WITH f AS (
+  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+         CAST(round(l_extendedprice*100) AS BIGINT) AS cents
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part
+                      WHERE p_brand = '{brand}')),
+s AS (SELECT l_partkey, COUNT(*) AS n, SUM(qty) AS sq FROM f GROUP BY 1)
+SELECT CAST(SUM(f.cents) AS BIGINT) / 7.0 / 100.0 AS avg_yearly
+FROM f JOIN s USING (l_partkey)
+WHERE 5 * f.qty * s.n < s.sq
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape — above-average idle customers: per-nation count and
+# balance of customers whose balance exceeds the positive-balance
+# average AND who have no OPEN order (the unfiltered variant is vacuous
+# on this data — every above-average customer has some order). The
+# global average never becomes a float: the threshold test is
+# cents·n > sum_cents over exact integers (two driver scalars folded
+# from per-block partials). The no-open-orders test is the byte-gated
+# ANTI membership filter over a filtered, column-pruned key read;
+# per-nation sums pre-combine map-side to ≤|nations| rows per block.
+
+
+def q22_idle_balance_customers(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    from tag_ray.functions.grouping import grouped_aggregate
+    from tag_ray.functions.keyjoin import filter_by_key_set
+    from tag_ray.sources import table_path
+
+    cust = _ctable(sf_dir, "customer",
+                   columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def pos_partial(b: pa.Table) -> pa.Table:
+        # the >0 test is on the RAW double (0.004 is positive but rounds
+        # to 0 cents) — mirrors the oracle's c_acctbal > 0.0
+        b = b.filter(pc.greater(b["c_acctbal"], 0.0))
+        c = _cents(b["c_acctbal"].to_numpy(zero_copy_only=False))
+        return pa.Table.from_pydict({
+            "n": pa.array([b.num_rows], pa.int64()),
+            "s": pa.array([int(c.sum())], pa.int64())})
+
+    p = cust.map_batches(pos_partial, batch_format="pyarrow").to_pandas()
+    n_pos = int(p["n"].sum()) if len(p) else 0
+    s_pos = int(p["s"].sum()) if len(p) else 0
+    empty = pd.DataFrame({"c_nationkey": pd.Series([], dtype="int32"),
+                          "numcust": pd.Series([], dtype="int64"),
+                          "totacctbal": pd.Series([], dtype="float64")})
+    if n_pos == 0:  # SQL predicate is cents·0 > NULL → no rows
+        return empty
+
+    def rich(b: pa.Table) -> pa.Table:
+        c = _cents(b["c_acctbal"].to_numpy(zero_copy_only=False))
+        keep = c * n_pos > s_pos
+        return pa.Table.from_pydict({
+            "c_custkey": pa.array(
+                b["c_custkey"].to_numpy(zero_copy_only=False)[keep]),
+            "c_nationkey": pa.array(
+                b["c_nationkey"].to_numpy(zero_copy_only=False)[keep]),
+            "cents": pa.array(c[keep])})
+
+    import pyarrow.dataset as pads
+
+    est = pq.ParquetFile(table_path(sf_dir, "orders")).metadata.num_rows
+    order_keys = rd.read_parquet(
+        table_path(sf_dir, "orders"), columns=["o_custkey"],
+        filter=pads.field("o_orderstatus") == "O")
+    idle = filter_by_key_set(cust.map_batches(rich, batch_format="pyarrow"),
+                             "c_custkey", order_keys, "o_custkey",
+                             anti=True, est_rows=est)
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (pd.DataFrame({"c_nationkey": b["c_nationkey"].to_pandas(),
+                           "cents": b["cents"].to_pandas()})
+             .groupby("c_nationkey", sort=False)
+             .agg(numcust=("cents", "size"), cents=("cents", "sum"))
+             .reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = grouped_aggregate(idle.map_batches(partial, batch_format="pyarrow"),
+                            ["c_nationkey"],
+                            {"numcust": ("numcust", "sum"),
+                             "cents": ("cents", "sum")}).to_pandas()
+    if len(agg) == 0:
+        return empty
+    return pd.DataFrame({
+        "c_nationkey": agg["c_nationkey"].astype("int32"),
+        "numcust": agg["numcust"].astype("int64"),
+        "totacctbal": agg["cents"].astype("int64") / 100.0})
+
+
+Q22_SQL = """
+WITH pos AS (SELECT COUNT(*) AS n,
+                    SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS s
+             FROM customer WHERE c_acctbal > 0.0)
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT)/100.0
+         AS totacctbal
+FROM customer, pos
+WHERE CAST(round(c_acctbal*100) AS BIGINT) * pos.n > pos.s
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderstatus = 'O')
+GROUP BY c_nationkey
+"""

@@ -1540,3 +1540,145 @@ SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
 FROM tf JOIN tc ON tf.term = tc.term CROSS JOIN n
 GROUP BY tf.doc_id
 """
+
+# ---------------------------------------------------------------------------
+# bigram-LM surprisal: per-document total -ln P(w2|w1) under the
+# corpus's own bigram model, P(w2|w1) = c(w1 w2) / c(w1) — the
+# next-token-predictability quality signal (boilerplate scores low,
+# incoherent text high). Three term-keyed stages instead of unigram's
+# two: bigram corpus counts attach on the BIGRAM key, the conditioning
+# denominator attaches on the FIRST-WORD key, then a doc-keyed reduce —
+# every exchange carries skinny (key, int) rows. Parity follows the
+# unigram recipe: one log per distinct (bigram-count, w1-count) input
+# quantized to integer micro-nats, int64 sums after.
+
+
+def _bigram_rows_fn():
+    """Per-batch (doc_id, big, w1, tf) rows; the word definition is the
+    shared [a-z]+ -on-lowercase so bigram and unigram counts can never
+    disagree on tokenization."""
+    import re
+
+    word_rx = re.compile(r"[a-z]+")
+
+    def rows(b: pa.Table) -> pa.Table:
+        from collections import Counter
+        ids, bigs, w1s, tfs = [], [], [], []
+        for d, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            ws = word_rx.findall((t or "").lower())
+            if len(ws) < 2:
+                continue
+            c = Counter(zip(ws[:-1], ws[1:]))
+            for (a, z), k in c.items():
+                ids.append(d)
+                bigs.append(a + " " + z)
+                w1s.append(a)
+                tfs.append(k)
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(ids, pa.int64()),
+            "big": pa.array(bigs, pa.string()),
+            "w1": pa.array(w1s, pa.string()),
+            "tf": pa.array(tfs, pa.int64())})
+
+    return rows
+
+
+def doc_bigram_surprisal(sf_dir: str) -> rd.Dataset:
+    from tag_ray.functions.grouping import coarse_bucket_apply, grouped_aggregate
+
+    docs = _ctable(sf_dir, "documents", columns=["doc_id", "text"])
+    bg = docs.map_batches(_bigram_rows_fn(),
+                          batch_format="pyarrow").materialize()
+    tcb = grouped_aggregate(bg, ["big"], {"tcb": ("tf", "sum")})
+    uni = docs.map_batches(_tf_rows_fn(), batch_format="pyarrow")
+    c1 = grouped_aggregate(uni, ["term"], {"c1": ("tf", "sum")})
+
+    # attach the bigram corpus count ON THE BIGRAM KEY (stat rows ride
+    # the same exchange under the sentinel doc_id = -1)
+    tagged_bg = bg.map_batches(
+        lambda b: b.append_column(
+            "tcb", pa.array(np.zeros(b.num_rows, np.int64))),
+        batch_format="pyarrow")
+    tagged_tcb = tcb.map_batches(
+        lambda b: pa.Table.from_pydict({
+            "doc_id": pa.array(np.full(b.num_rows, -1, np.int64)),
+            "big": b["big"],
+            "w1": pa.array([""] * b.num_rows, pa.string()),
+            "tf": pa.array(np.zeros(b.num_rows, np.int64)),
+            "tcb": b["tcb"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+    def attach_tcb(g: pd.DataFrame) -> pd.DataFrame:
+        st = g[g["doc_id"] < 0].set_index("big")["tcb"]
+        rows = g[g["doc_id"] >= 0]
+        return pd.DataFrame({
+            "doc_id": rows["doc_id"].to_numpy(),
+            "w1": rows["w1"].to_numpy(),
+            "tf": rows["tf"].to_numpy(),
+            "tcb": st.reindex(rows["big"]).to_numpy(dtype=np.int64)})
+
+    with_tcb = coarse_bucket_apply(tagged_bg.union(tagged_tcb), ["big"],
+                                   attach_tcb)
+
+    # attach the conditioning denominator ON THE FIRST-WORD KEY
+    tagged_rows = with_tcb.map_batches(
+        lambda b: b.append_column(
+            "c1", pa.array(np.zeros(b.num_rows, np.int64))),
+        batch_format="pyarrow")
+    tagged_c1 = c1.map_batches(
+        lambda b: pa.Table.from_pydict({
+            "doc_id": pa.array(np.full(b.num_rows, -1, np.int64)),
+            "w1": b["term"],
+            "tf": pa.array(np.zeros(b.num_rows, np.int64)),
+            "tcb": pa.array(np.zeros(b.num_rows, np.int64)),
+            "c1": b["c1"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+    def attach_c1(g: pd.DataFrame) -> pd.DataFrame:
+        st = g[g["doc_id"] < 0].set_index("w1")["c1"]
+        rows = g[g["doc_id"] >= 0]
+        return pd.DataFrame({
+            "doc_id": rows["doc_id"].to_numpy(),
+            "tf": rows["tf"].to_numpy(),
+            "tcb": rows["tcb"].to_numpy(),
+            "c1": st.reindex(rows["w1"]).to_numpy(dtype=np.int64)})
+
+    joined = coarse_bucket_apply(tagged_rows.union(tagged_c1), ["w1"],
+                                 attach_c1)
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        micro = round_half_away(
+            np.log(g["tcb"].to_numpy(dtype=np.float64)
+                   / g["c1"].to_numpy(dtype=np.float64)) * 1e6,
+            0).astype(np.int64)
+        agg = (g.assign(sm=g["tf"].to_numpy(dtype=np.int64) * -micro)
+               .groupby("doc_id", sort=False)
+               .agg(n=("tf", "sum"), sm=("sm", "sum")).reset_index())
+        return pd.DataFrame({
+            "doc_id": agg["doc_id"].to_numpy(),
+            "n_bigrams": agg["n"].astype("int64").to_numpy(),
+            "surprisal_micro": agg["sm"].astype("int64").to_numpy()})
+
+    return coarse_bucket_apply(joined, ["doc_id"], per_doc)
+
+
+BIGRAM_SURPRISAL_SQL = """
+WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+           FROM documents),
+bg AS (SELECT doc_id,
+              unnest(list_transform(generate_series(1, len(ws)-1),
+                                    i -> ws[i] || ' ' || ws[i+1])) AS big
+       FROM w WHERE len(ws) >= 2),
+tf AS (SELECT doc_id, big, COUNT(*) AS tf FROM bg GROUP BY 1, 2),
+tcb AS (SELECT big, SUM(tf) AS tcb FROM tf GROUP BY 1),
+uni AS (SELECT term, COUNT(*) AS c1
+        FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                AS term FROM documents) GROUP BY 1)
+SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_bigrams,
+       CAST(SUM(tf.tf * -CAST(round(ln(CAST(tcb.tcb AS DOUBLE) / uni.c1)
+                                    * 1000000) AS BIGINT)) AS BIGINT)
+         AS surprisal_micro
+FROM tf JOIN tcb USING (big)
+JOIN uni ON uni.term = split_part(tf.big, ' ', 1)
+GROUP BY tf.doc_id
+"""

@@ -19,7 +19,7 @@ def empty_dir(tmp_path_factory):
     d = tmp_path_factory.mktemp("empty_sf")
     src = "/root/testdata/sf0.001"
     for t in ("events", "orders", "documents", "lineitem", "embeddings",
-              "part"):
+              "part", "customer"):
         schema = pq.read_schema(f"{src}/{t}.parquet")
         pq.write_table(schema.empty_table(), str(d / f"{t}.parquet"))
     return str(d)
@@ -46,6 +46,11 @@ def empty_dir(tmp_path_factory):
     ("events_props_stats", 0),
     ("events_daily_anomaly", 0),
     ("doc_unigram_surprisal", 0),
+    ("q4_priority_exists_count", 0),
+    ("q13_order_count_distribution", 0),
+    ("q17_small_quantity_revenue", 1),
+    ("q22_idle_balance_customers", 0),
+    ("doc_bigram_surprisal", 0),
 ])
 def test_empty_input_matches_oracle_shape(ray_session, empty_dir, name,
                                           want_rows):
