@@ -222,6 +222,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q17_small_quantity_revenue": R.q17_small_quantity_revenue,
         "q22_idle_balance_customers": R.q22_idle_balance_customers,
         "doc_bigram_surprisal": T.doc_bigram_surprisal,
+        "q18_large_volume_customers": R.q18_large_volume_customers,
+        "q15_top_supplier": R.q15_top_supplier,
+        "q8_market_share": R.q8_market_share,
         # --- (3) no-oracle (rows-only) entries ---
         "img_validate": img_validate,
         "img_partition_status": img_partition_status,
@@ -350,4 +353,7 @@ def oracle_sql() -> dict[str, str]:
         "q17_small_quantity_revenue": R.q17_sql(),
         "q22_idle_balance_customers": R.Q22_SQL,
         "doc_bigram_surprisal": T.BIGRAM_SURPRISAL_SQL,
+        "q18_large_volume_customers": R.q18_sql(),
+        "q15_top_supplier": R.Q15_SQL,
+        "q8_market_share": R.q8_sql(),
     }

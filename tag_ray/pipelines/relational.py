@@ -3182,3 +3182,366 @@ WHERE CAST(round(c_acctbal*100) AS BIGINT) * pos.n > pos.s
                   AND o_orderstatus = 'O')
 GROUP BY c_nationkey
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape — large-volume customers: orders whose total lineitem
+# quantity exceeds a threshold, ranked by order value. The HAVING runs
+# entirely inside the dataset: per-order quantity sums come from a
+# map-side combine + one coarse-bucket aggregate over the skinny
+# (orderkey, qty) projection (quantities are integral, so int64 sums
+# are exact and partials merge associatively); only qualifying orders —
+# a vanishing fraction at any threshold worth asking about — reach the
+# partitioned join with orders. The final top-k sorts the tiny winner
+# set; customer names attach via a row-filtered dimension read of just
+# the ≤k winner custkeys (never a full customer scan). Mirrors the
+# reference's manifest-lookup role (cmd/check/main.go) for the "order
+# exceeds declared capacity" class of constraint.
+
+
+def q18_large_volume_customers(sf_dir: str, min_qty: int = 270,
+                               k: int = 100) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    from tag_ray.functions.grouping import grouped_aggregate
+    from tag_ray.sources import table_path
+
+    li = _ctable(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].to_numpy(zero_copy_only=False),
+            "sum_qty": b["l_quantity"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)})
+            .groupby("l_orderkey", sort=False)["sum_qty"]
+            .sum().reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_order = grouped_aggregate(
+        li.map_batches(partial, batch_format="pyarrow"),
+        ["l_orderkey"], {"sum_qty": ("sum_qty", "sum")})
+    big = per_order.map_batches(
+        lambda b: b.filter(pc.greater(b["sum_qty"], min_qty)),
+        batch_format="pyarrow").materialize()
+
+    empty = pd.DataFrame({
+        "c_custkey": pd.Series([], dtype="int64"),
+        "c_name": pd.Series([], dtype="object"),
+        "o_orderkey": pd.Series([], dtype="int64"),
+        "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+        "o_totalprice": pd.Series([], dtype="float64"),
+        "sum_qty": pd.Series([], dtype="int64")})
+    if big.count() == 0:
+        return empty
+
+    orders = _ctable(sf_dir, "orders",
+                     columns=["o_orderkey", "o_custkey", "o_orderdate",
+                              "o_totalprice"])
+    top = (big.join(orders, "inner", num_partitions=join_num_partitions(),
+                    on=("l_orderkey",), right_on=("o_orderkey",))
+           .sort(["o_totalprice", "l_orderkey"], descending=[True, False])
+           .limit(k).to_pandas())
+    if len(top) == 0:
+        return empty
+    top = top.rename(columns={"l_orderkey": "o_orderkey"})
+
+    keys = sorted(set(top["o_custkey"].astype("int64").tolist()))
+    cust = pq.read_table(table_path(sf_dir, "customer"),
+                         columns=["c_custkey", "c_name"],
+                         filters=[("c_custkey", "in", keys)]).to_pandas()
+    out = top.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    out = out.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True]).reset_index(drop=True)
+    return pd.DataFrame({
+        "c_custkey": out["c_custkey"].astype("int64"),
+        "c_name": out["c_name"],
+        "o_orderkey": out["o_orderkey"].astype("int64"),
+        "o_orderdate": out["o_orderdate"],
+        "o_totalprice": out["o_totalprice"].astype("float64"),
+        "sum_qty": out["sum_qty"].astype("int64")})
+
+
+def q18_sql(min_qty: int = 270, k: int = 100) -> str:
+    return f"""
+WITH pq AS (SELECT l_orderkey,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING SUM(CAST(l_quantity AS BIGINT)) > {min_qty})
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM pq JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape — top supplier by quarter revenue, ties kept (the
+# reference view + MAX subquery). One skinny projection with map-side
+# per-supplier cent partials, one coarse-bucket aggregate, then a
+# driver-held SINGLE integer (the global max — O(1) regardless of
+# scale) selects winners inside the dataset; winner names attach via a
+# row-filtered supplier read. No sort of the per-supplier table is ever
+# needed — max + equality filter replaces a global ranking.
+
+
+def q15_top_supplier(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    from tag_ray.functions.grouping import grouped_aggregate
+    from tag_ray.sources import table_path
+
+    li = _ctable(sf_dir, "lineitem",
+                 columns=["l_suppkey", "l_extendedprice", "l_discount",
+                          "l_shipdate"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(
+            pc.greater_equal(b["l_shipdate"],
+                             pa.scalar(pd.Timestamp("1996-01-01"))),
+            pc.less(b["l_shipdate"], pa.scalar(pd.Timestamp("1996-04-01")))))
+        rev = _cents(b["l_extendedprice"].to_numpy(zero_copy_only=False)
+                     * (1.0 - b["l_discount"].to_numpy(zero_copy_only=False)))
+        g = (pd.DataFrame({
+            "l_suppkey": b["l_suppkey"].to_numpy(zero_copy_only=False),
+            "rev_c": rev}).groupby("l_suppkey", sort=False)["rev_c"]
+            .sum().reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_supp = grouped_aggregate(
+        li.map_batches(partial, batch_format="pyarrow"),
+        ["l_suppkey"], {"rev_c": ("rev_c", "sum")}).materialize()
+
+    empty = pd.DataFrame({
+        "s_suppkey": pd.Series([], dtype="int64"),
+        "s_name": pd.Series([], dtype="object"),
+        "total_revenue": pd.Series([], dtype="float64")})
+    if per_supp.count() == 0:
+        return empty
+    mx = int(per_supp.max("rev_c"))
+
+    winners = per_supp.map_batches(
+        lambda b: b.filter(pc.equal(b["rev_c"], mx)),
+        batch_format="pyarrow").to_pandas()
+    keys = sorted(set(winners["l_suppkey"].astype("int64").tolist()))
+    supp = pq.read_table(table_path(sf_dir, "supplier"),
+                         columns=["s_suppkey", "s_name"],
+                         filters=[("s_suppkey", "in", keys)]).to_pandas()
+    out = (winners.merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+           .sort_values("s_suppkey").reset_index(drop=True))
+    return pd.DataFrame({
+        "s_suppkey": out["s_suppkey"].astype("int64"),
+        "s_name": out["s_name"],
+        "total_revenue": out["rev_c"].astype("int64") / 100.0})
+
+
+Q15_SQL = """
+WITH rev AS (SELECT l_suppkey,
+                    SUM(CAST(round(l_extendedprice*(1-l_discount)*100)
+                        AS BIGINT)) AS c
+             FROM lineitem
+             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+               AND l_shipdate <  TIMESTAMP '1996-04-01'
+             GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, CAST(c AS BIGINT)/100.0 AS total_revenue
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE c = (SELECT MAX(c) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape — national market share: of all order revenue shipped
+# into one region for one part type over two years, what fraction came
+# from one supplier nation? The widest multi-hop in the suite (7-table
+# oracle) runs with exactly ONE fact-fact exchange: supplier nation is
+# a broadcast sorted-array lookup (genuine dimension), the part-type
+# membership is a byte-gated `filter_by_key_set` on the fact, orders'
+# customer-region gate reuses q7's dual-regime attach (broadcast under
+# the byte gate, partitioned join above it), and the lineitem↔orders
+# join carries per-(orderkey) cent partials already collapsed by a
+# map-side combine. The share division happens once per year on exact
+# int64 numerators/denominators, mirroring the SQL BIGINT/BIGINT →
+# DOUBLE expression bit-for-bit.
+
+
+def q8_market_share(sf_dir: str, nation: str = "NATION_2",
+                    region: str = "ASIA",
+                    ptype: str = "PROMO") -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    from tag_ray.functions.grouping import grouped_aggregate
+    from tag_ray.functions.keyjoin import filter_by_key_set
+    from tag_ray.sources import table_path
+
+    # true zero-row fact inputs leave the partitioned join with no
+    # schema to bind its key on (filtered-to-empty blocks still carry
+    # one) — the metadata row count decides without reading any data
+    for t in ("lineitem", "orders"):
+        if pq.ParquetFile(table_path(sf_dir, t)).metadata.num_rows == 0:
+            return pd.DataFrame({"o_year": pd.Series([], dtype="int64"),
+                                 "mkt_share": pd.Series([],
+                                                        dtype="float64")})
+
+    nat = pq.read_table(table_path(sf_dir, "nation"),
+                        columns=["n_nationkey", "n_name",
+                                 "n_regionkey"]).to_pandas()
+    reg = pq.read_table(table_path(sf_dir, "region"),
+                        columns=["r_regionkey", "r_name"]).to_pandas()
+    x_keys = set(nat.loc[nat["n_name"] == nation, "n_nationkey"]
+                 .astype("int64"))
+    rkeys = set(reg.loc[reg["r_name"] == region, "r_regionkey"]
+                .astype("int64"))
+    region_nations = np.sort(nat.loc[nat["n_regionkey"].astype("int64")
+                                     .isin(rkeys), "n_nationkey"]
+                             .to_numpy(dtype=np.int64))
+
+    supp = pq.read_table(table_path(sf_dir, "supplier"),
+                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sk = supp["s_suppkey"].to_numpy(dtype=np.int64)
+    so = np.argsort(sk)
+    supp_h = ray.put((sk[so], supp["s_nationkey"].to_numpy(
+        dtype=np.int64)[so], np.sort(np.fromiter(x_keys, dtype=np.int64,
+                                                 count=len(x_keys)))))
+
+    li = _ctable(sf_dir, "lineitem",
+                 columns=["l_orderkey", "l_partkey", "l_suppkey",
+                          "l_extendedprice", "l_discount"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        keys, snat, xk = ray.get(supp_h)
+        k = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(keys, k)
+        idx = np.minimum(idx, max(len(keys) - 1, 0))
+        # orphan suppkeys drop, mirroring the oracle's inner join
+        hit = (keys[idx] == k) if len(keys) else np.zeros(len(k), bool)
+        rev = _cents(b["l_extendedprice"].to_numpy(zero_copy_only=False)
+                     * (1.0 - b["l_discount"]
+                        .to_numpy(zero_copy_only=False)))[hit]
+        nt = snat[idx[hit]]
+        is_x = np.isin(nt, xk)
+        return pa.Table.from_pydict({
+            "l_partkey": pa.array(b["l_partkey"].to_numpy(
+                zero_copy_only=False)[hit]),
+            "l_orderkey": pa.array(b["l_orderkey"].to_numpy(
+                zero_copy_only=False)[hit]),
+            "num_c": pa.array(np.where(is_x, rev, 0)),
+            "den_c": pa.array(rev)})
+
+    part_keys = _ctable(sf_dir, "part", columns=["p_partkey", "p_type"]) \
+        .map_batches(lambda b: b.filter(pc.equal(b["p_type"], ptype))
+                     .select(["p_partkey"]), batch_format="pyarrow")
+    n_part = pq.ParquetFile(table_path(sf_dir, "part")).metadata.num_rows
+    facts = filter_by_key_set(
+        li.map_batches(derive, batch_format="pyarrow"), "l_partkey",
+        part_keys, "p_partkey", est_rows=n_part)
+
+    def combine(b: pa.Table) -> pa.Table:
+        g = (pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].to_numpy(zero_copy_only=False),
+            "num_c": b["num_c"].to_numpy(zero_copy_only=False),
+            "den_c": b["den_c"].to_numpy(zero_copy_only=False)})
+            .groupby("l_orderkey", sort=False)[["num_c", "den_c"]]
+            .sum().reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    fact = facts.map_batches(combine, batch_format="pyarrow")
+
+    lo, hi = pd.Timestamp("1995-01-01"), pd.Timestamp("1997-01-01")
+    orders = _ctable(sf_dir, "orders",
+                     columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def date_gate(b: pa.Table) -> pa.Table:
+        return b.filter(pc.and_(
+            pc.greater_equal(b["o_orderdate"], pa.scalar(lo)),
+            pc.less(b["o_orderdate"], pa.scalar(hi))))
+
+    orders = orders.map_batches(date_gate, batch_format="pyarrow")
+    n_cust = pq.ParquetFile(table_path(sf_dir, "customer")).metadata.num_rows
+    if n_cust * 16 <= BROADCAST_JOIN_MAX_BYTES:
+        cust = pq.read_table(table_path(sf_dir, "customer"),
+                             columns=["c_custkey", "c_nationkey"]).to_pandas()
+        ck = cust["c_custkey"].to_numpy(dtype=np.int64)
+        co = np.argsort(ck)
+        cust_h = ray.put((ck[co], cust["c_nationkey"].to_numpy(
+            dtype=np.int64)[co], region_nations))
+
+        def keep_region(b: pa.Table) -> pa.Table:
+            keys, cn, rn = ray.get(cust_h)
+            k = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            idx = np.searchsorted(keys, k)
+            idx = np.minimum(idx, max(len(keys) - 1, 0))
+            hit = (keys[idx] == k) if len(keys) else np.zeros(len(k), bool)
+            keep = hit.copy()
+            keep[hit] = np.isin(cn[idx[hit]], rn)
+            return pa.Table.from_pydict({
+                "o_orderkey": b["o_orderkey"].filter(pa.array(keep)),
+                "o_year": pc.year(b["o_orderdate"].filter(pa.array(keep)))
+                .cast(pa.int64())})
+
+        orders_y = orders.map_batches(keep_region, batch_format="pyarrow")
+    else:  # 10^12-row customer: partitioned join, never a driver read
+        rn_h = ray.put(region_nations)
+        cust_ds = _ctable(sf_dir, "customer",
+                          columns=["c_custkey", "c_nationkey"]).map_batches(
+            lambda b: b.filter(pa.array(np.isin(
+                b["c_nationkey"].to_numpy(zero_copy_only=False)
+                .astype(np.int64), ray.get(rn_h)))).select(["c_custkey"]),
+            batch_format="pyarrow")
+        orders_y = (orders.join(cust_ds, "inner",
+                                num_partitions=join_num_partitions(),
+                                on=("o_custkey",), right_on=("c_custkey",))
+                    .map_batches(lambda b: pa.Table.from_pydict({
+                        "o_orderkey": b["o_orderkey"],
+                        "o_year": pc.year(b["o_orderdate"])
+                        .cast(pa.int64())}), batch_format="pyarrow"))
+
+    joined = fact.join(orders_y, "inner",
+                       num_partitions=join_num_partitions(),
+                       on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def year_partial(b: pa.Table) -> pa.Table:
+        g = (pd.DataFrame({
+            "o_year": b["o_year"].to_numpy(zero_copy_only=False),
+            "num_c": b["num_c"].to_numpy(zero_copy_only=False),
+            "den_c": b["den_c"].to_numpy(zero_copy_only=False)})
+            .groupby("o_year", sort=False)[["num_c", "den_c"]]
+            .sum().reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = grouped_aggregate(
+        joined.map_batches(year_partial, batch_format="pyarrow"),
+        ["o_year"], {"num_c": ("num_c", "sum"),
+                     "den_c": ("den_c", "sum")}).to_pandas()
+    if len(agg) == 0:
+        return pd.DataFrame({"o_year": pd.Series([], dtype="int64"),
+                             "mkt_share": pd.Series([], dtype="float64")})
+    agg = agg.sort_values("o_year").reset_index(drop=True)
+    # BIGINT/BIGINT → DOUBLE: one IEEE division per year, same operands
+    return pd.DataFrame({
+        "o_year": agg["o_year"].astype("int64"),
+        "mkt_share": agg["num_c"].astype("int64").to_numpy()
+        / agg["den_c"].astype("int64").to_numpy()})
+
+
+def q8_sql(nation: str = "NATION_2", region: str = "ASIA",
+           ptype: str = "PROMO") -> str:
+    return f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CASE WHEN n2.n_name = '{nation}'
+                THEN CAST(round(l_extendedprice*(1-l_discount)*100)
+                     AS BIGINT) ELSE 0 END) AS BIGINT)
+       / CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*100)
+                  AS BIGINT)) AS BIGINT) AS mkt_share
+FROM lineitem
+JOIN orders   ON l_orderkey  = o_orderkey
+JOIN customer ON o_custkey   = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey   = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+JOIN part     ON l_partkey   = p_partkey
+WHERE r_name = '{region}' AND p_type = '{ptype}'
+  AND o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY 1
+"""

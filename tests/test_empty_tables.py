@@ -19,7 +19,7 @@ def empty_dir(tmp_path_factory):
     d = tmp_path_factory.mktemp("empty_sf")
     src = "/root/testdata/sf0.001"
     for t in ("events", "orders", "documents", "lineitem", "embeddings",
-              "part", "customer"):
+              "part", "customer", "supplier", "nation", "region"):
         schema = pq.read_schema(f"{src}/{t}.parquet")
         pq.write_table(schema.empty_table(), str(d / f"{t}.parquet"))
     return str(d)
@@ -51,6 +51,11 @@ def empty_dir(tmp_path_factory):
     ("q17_small_quantity_revenue", 1),
     ("q22_idle_balance_customers", 0),
     ("doc_bigram_surprisal", 0),
+    # Q15's oracle over zero rows: MAX(c) is NULL, c = NULL matches
+    # nothing → 0 rows (not a NULL row — the filter precedes the agg)
+    ("q18_large_volume_customers", 0),
+    ("q15_top_supplier", 0),
+    ("q8_market_share", 0),
 ])
 def test_empty_input_matches_oracle_shape(ray_session, empty_dir, name,
                                           want_rows):
