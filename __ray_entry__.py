@@ -225,6 +225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q18_large_volume_customers": R.q18_large_volume_customers,
         "q15_top_supplier": R.q15_top_supplier,
         "q8_market_share": R.q8_market_share,
+        "q21_sole_returned_supplier": R.q21_sole_returned_supplier,
         # --- (3) no-oracle (rows-only) entries ---
         "img_validate": img_validate,
         "img_partition_status": img_partition_status,
@@ -356,4 +357,5 @@ def oracle_sql() -> dict[str, str]:
         "q18_large_volume_customers": R.q18_sql(),
         "q15_top_supplier": R.Q15_SQL,
         "q8_market_share": R.q8_sql(),
+        "q21_sole_returned_supplier": R.q21_sql(),
     }

@@ -3545,3 +3545,104 @@ WHERE r_name = '{region}' AND p_type = '{ptype}'
   AND o_orderdate <  TIMESTAMP '1997-01-01'
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape — sole-blamed supplier: for finished orders touched
+# by several suppliers where EXACTLY ONE supplier's lineitems came back
+# returned, charge that supplier; rank by blame count. (The reference
+# Q21's commit/receipt-date lateness predicate isn't representable in
+# this schema, so the returnflag plays the "failed the order" role —
+# the EXISTS / NOT-EXISTS-other-supplier correlation structure is
+# preserved verbatim.) All correlation is per-order: a map-side
+# distinct pre-shrink emits (orderkey, suppkey, has_r) rows, one
+# orderkey-bucket exchange co-locates each order's suppliers, and the
+# whole bucket resolves with three C-level groupby passes (distinct
+# max, transform size/sum, boolean gate) — Python calls scale with
+# bucket count, not order count. Per-supplier blame partials sum
+# exactly across buckets; ranking ties break on s_suppkey so only the
+# ≤k winners ever need their names read.
+
+
+def q21_sole_returned_supplier(sf_dir: str, k: int = 25) -> pd.DataFrame:
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from tag_ray.functions.grouping import (coarse_bucket_apply,
+                                            grouped_aggregate)
+    from tag_ray.functions.keyjoin import filter_by_key_set
+    from tag_ray.sources import table_path
+
+    est = pq.ParquetFile(table_path(sf_dir, "orders")).metadata.num_rows
+    f_orders = rd.read_parquet(
+        table_path(sf_dir, "orders"), columns=["o_orderkey"],
+        filter=pads.field("o_orderstatus") == "F")
+
+    li = _ctable(sf_dir, "lineitem",
+                 columns=["l_orderkey", "l_suppkey", "l_returnflag"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        g = (pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].to_numpy(zero_copy_only=False),
+            "l_suppkey": b["l_suppkey"].to_numpy(zero_copy_only=False),
+            "has_r": (b["l_returnflag"].to_numpy(zero_copy_only=False)
+                      == "R").astype(np.int8)})
+            .groupby(["l_orderkey", "l_suppkey"], sort=False)["has_r"]
+            .max().reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li_f = filter_by_key_set(li.map_batches(pre, batch_format="pyarrow"),
+                             "l_orderkey", f_orders, "o_orderkey",
+                             est_rows=est)
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = (g.groupby(["l_orderkey", "l_suppkey"], sort=False)["has_r"]
+             .max().reset_index())
+        gb = d.groupby("l_orderkey", sort=False)["has_r"]
+        keep = ((d["has_r"] == 1) & (gb.transform("size") >= 2)
+                & (gb.transform("sum") == 1))
+        vc = d.loc[keep, "l_suppkey"].value_counts()
+        return pd.DataFrame({
+            "l_suppkey": vc.index.to_numpy(dtype=np.int64),
+            "numwait": vc.to_numpy(dtype=np.int64)})
+
+    per_supp = grouped_aggregate(
+        coarse_bucket_apply(li_f, ["l_orderkey"], bucket),
+        ["l_suppkey"], {"numwait": ("numwait", "sum")})
+    top = (per_supp.sort(["numwait", "l_suppkey"],
+                         descending=[True, False]).limit(k).to_pandas())
+    if len(top) == 0:
+        return pd.DataFrame({
+            "s_suppkey": pd.Series([], dtype="int64"),
+            "s_name": pd.Series([], dtype="object"),
+            "numwait": pd.Series([], dtype="int64")})
+
+    keys = sorted(set(top["l_suppkey"].astype("int64").tolist()))
+    supp = pq.read_table(table_path(sf_dir, "supplier"),
+                         columns=["s_suppkey", "s_name"],
+                         filters=[("s_suppkey", "in", keys)]).to_pandas()
+    out = (top.merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+           .sort_values(["numwait", "s_suppkey"], ascending=[False, True])
+           .reset_index(drop=True))
+    return pd.DataFrame({
+        "s_suppkey": out["s_suppkey"].astype("int64"),
+        "s_name": out["s_name"],
+        "numwait": out["numwait"].astype("int64")})
+
+
+def q21_sql(k: int = 25) -> str:
+    return f"""
+WITH l AS (SELECT l_orderkey, l_suppkey,
+                  MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS has_r
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE o_orderstatus = 'F'
+           GROUP BY l_orderkey, l_suppkey),
+  o AS (SELECT l_orderkey, COUNT(*) AS n_supp, SUM(has_r) AS n_r
+        FROM l GROUP BY l_orderkey)
+SELECT s_suppkey, ANY_VALUE(s_name) AS s_name,
+       CAST(COUNT(*) AS BIGINT) AS numwait
+FROM l JOIN o USING (l_orderkey) JOIN supplier ON l_suppkey = s_suppkey
+WHERE l.has_r = 1 AND o.n_supp >= 2 AND o.n_r = 1
+GROUP BY s_suppkey ORDER BY numwait DESC, s_suppkey LIMIT {k}
+"""
