@@ -665,7 +665,7 @@ WITH tf AS (
 ), tc AS (
   SELECT term, SUM(tf) AS tc FROM tf GROUP BY term
 )
-SELECT tf.doc_id, SUM(tf.tf) AS n_tokens,
+SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
        ROUND(CAST(SUM(tf.tf * tc.tc) AS DOUBLE) / SUM(tf.tf), 4)
          AS mean_term_freq
 FROM tf JOIN tc ON tf.term = tc.term
@@ -739,7 +739,8 @@ def docs_cube(sf_dir: str) -> pd.DataFrame:
 
 DOCS_CUBE_SQL = """
 SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
-       COUNT(*) AS n, SUM(n_chars) AS chars
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(n_chars) AS BIGINT) AS chars
 FROM documents GROUP BY CUBE(lang, source) ORDER BY 1, 2
 """
 
