@@ -116,7 +116,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #   3. no-oracle entries (img_* flagship family, approximate dedup,
     #      sketches, export) last — their r02 rows-only checks stand, and
     #      entry() still smoke-runs the flagship every round.
-    return {
+    # The dict below keeps that narrative grouping; the FINAL order is
+    # computed from it by _window_order() (bottom of this function):
+    # with 56 never-evidenced oracles and ~50 window rows, every
+    # r02-green entry yields its slot to a first-time-evidenced one,
+    # and _WINDOW_DEFER names the 6 that stay outside (each is the
+    # simplest member of a family already represented in-window).
+    d = {
         # --- (1) oracle-carrying, no driver row in r02 ---
         "doc_exact_dup_groups": D.doc_exact_dup_groups,
         "doc_dedup_keep_first": D.doc_dedup_keep_first,
@@ -249,6 +255,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_kmeans": E.emb_kmeans,
         "export_training_set": X.export_training_set_query,
     }
+    oracles = set(oracle_sql())
+    unevidenced = [n for n in d
+                   if n in oracles and n not in _R02_EVIDENCED
+                   and n not in _WINDOW_DEFER]
+    deferred = [n for n in d if n in _WINDOW_DEFER]
+    evidenced = [n for n in d if n in oracles and n in _R02_EVIDENCED]
+    rows_only = [n for n in d if n not in oracles]
+    return {n: d[n] for n in (*unevidenced, *deferred, *evidenced,
+                              *rows_only)}
+
+
+# Oracle queries hash-green in the driver's CORRECTNESS_r02 window —
+# their driver evidence stands, so they yield window slots to
+# first-time-evidenced entries (driver-evidence policy above).
+_R02_EVIDENCED = frozenset({
+    "active_party_keys", "big_orders", "big_quantity_orders",
+    "cust_order_counts", "cust_with_open_orders", "doc_fingerprint",
+    "doc_lang_counts", "doc_token_stats", "events_asof_join",
+    "events_daily_pivot", "events_errors_after_purchase", "events_hourly",
+    "events_running_totals", "events_sessions", "events_sliding",
+    "events_type_stats", "events_user_distinct", "events_user_top_type",
+    "lineitem_corr", "lineitem_open_orders", "lineitem_price_histogram",
+    "lineitem_price_median", "lineitem_quantity_quantiles",
+    "orders_above_avg", "orders_lag_gap", "orders_price_ntile",
+    "orders_priority_count", "orders_rank_in_customer", "orders_rollup",
+    "orders_status_agg", "orders_topk_per_group", "party_activity_full",
+    "party_keys_except", "party_keys_intersect", "party_keys_union",
+    "q1_pricing_summary", "q3_revenue_topk", "q5_region_revenue",
+    "range_check_part", "ref_orphan_orders", "set_check_orders",
+    "stats_lineitem_global", "top_customers", "uniqueness_orderkey",
+})
+
+# 56 never-evidenced oracles vs ~50 window rows: these 6 wait outside
+# (each the simplest member of a family already evidenced in-window:
+# q6 ≈ q1's scan-agg, q14 ≈ q8's share division, q19 ≈ q17's bracket
+# bucket, q15/q18 are plain top-k/HAVING shapes next to q10/q21, and
+# the unigram surprisal is subsumed by the bigram's machinery). All 6
+# stay green under the local DuckDB gate (test_queries_oracle).
+_WINDOW_DEFER = (
+    "q6_forecast_revenue", "q14_promo_share", "q19_bracket_revenue",
+    "q15_top_supplier", "q18_large_volume_customers",
+    "doc_unigram_surprisal",
+)
 
 
 def oracle_sql() -> dict[str, str]:
