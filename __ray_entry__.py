@@ -232,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q15_top_supplier": R.q15_top_supplier,
         "q8_market_share": R.q8_market_share,
         "q21_sole_returned_supplier": R.q21_sole_returned_supplier,
+        "q12_shipping_sla": R.q12_shipping_sla,
         # --- (3) no-oracle (rows-only) entries ---
         "img_validate": img_validate,
         "img_partition_status": img_partition_status,
@@ -297,6 +298,9 @@ _WINDOW_DEFER = (
     "q6_forecast_revenue", "q14_promo_share", "q19_bracket_revenue",
     "q15_top_supplier", "q18_large_volume_customers",
     "doc_unigram_surprisal",
+    # arrived after the r03 window was assigned (never displace a
+    # window entry late in a round); local gate covers it
+    "q12_shipping_sla",
 )
 
 
@@ -407,4 +411,5 @@ def oracle_sql() -> dict[str, str]:
         "q15_top_supplier": R.Q15_SQL,
         "q8_market_share": R.q8_sql(),
         "q21_sole_returned_supplier": R.q21_sql(),
+        "q12_shipping_sla": R.q12_sql(),
     }

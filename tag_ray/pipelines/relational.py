@@ -3646,3 +3646,84 @@ FROM l JOIN o USING (l_orderkey) JOIN supplier ON l_suppkey = s_suppkey
 WHERE l.has_r = 1 AND o.n_supp >= 2 AND o.n_r = 1
 GROUP BY s_suppkey ORDER BY numwait DESC, s_suppkey LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12 shape — shipping-SLA priority counts: per order priority,
+# how many lineitems shipped within 90 days of the order vs late.
+# (The reference Q12's shipmode/receiptdate columns aren't in this
+# schema; the orderdate+90d SLA keeps the join + dual conditional-sum
+# structure.) The lateness predicate needs each lineitem's shipdate
+# against ITS order's orderdate, so the one exchange is the
+# lineitem↔orders partitioned join on orderkey — both sides pruned to
+# the 2-3 columns the predicate touches — and every joined batch then
+# collapses to ≤5 (priority, late, ontime) partial rows via one
+# integer-microsecond comparison (timestamps compared as int64 us;
+# no calendar arithmetic to diverge between engines).
+
+
+def q12_shipping_sla(sf_dir: str, sla_days: int = 90) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    from tag_ray.functions.grouping import grouped_aggregate
+    from tag_ray.sources import table_path
+
+    # same zero-row join-schema guard as q8_market_share
+    for t in ("lineitem", "orders"):
+        if pq.ParquetFile(table_path(sf_dir, t)).metadata.num_rows == 0:
+            return pd.DataFrame({
+                "o_orderpriority": pd.Series([], dtype="object"),
+                "late_count": pd.Series([], dtype="int64"),
+                "ontime_count": pd.Series([], dtype="int64")})
+
+    li = _ctable(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    orders = _ctable(sf_dir, "orders",
+                     columns=["o_orderkey", "o_orderdate",
+                              "o_orderpriority"])
+    joined = li.join(orders, "inner", num_partitions=join_num_partitions(),
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+    sla_us = sla_days * 86_400_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        ship = b["l_shipdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        limit = b["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False) + sla_us
+        late = ship > limit
+        g = (pd.DataFrame({
+            "o_orderpriority": b["o_orderpriority"].to_pandas(),
+            "late_count": late.astype(np.int64),
+            "ontime_count": (~late).astype(np.int64)})
+            .groupby("o_orderpriority", sort=False)[
+                ["late_count", "ontime_count"]].sum().reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = grouped_aggregate(
+        joined.map_batches(partial, batch_format="pyarrow"),
+        ["o_orderpriority"],
+        {"late_count": ("late_count", "sum"),
+         "ontime_count": ("ontime_count", "sum")}).to_pandas()
+    if len(agg) == 0:
+        return pd.DataFrame({
+            "o_orderpriority": pd.Series([], dtype="object"),
+            "late_count": pd.Series([], dtype="int64"),
+            "ontime_count": pd.Series([], dtype="int64")})
+    agg = agg.sort_values("o_orderpriority").reset_index(drop=True)
+    return pd.DataFrame({
+        "o_orderpriority": agg["o_orderpriority"],
+        "late_count": agg["late_count"].astype("int64"),
+        "ontime_count": agg["ontime_count"].astype("int64")})
+
+
+def q12_sql(sla_days: int = 90) -> str:
+    return f"""
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN l_shipdate > o_orderdate
+                          + INTERVAL {sla_days} DAY
+                THEN 1 ELSE 0 END) AS BIGINT) AS late_count,
+       CAST(SUM(CASE WHEN l_shipdate <= o_orderdate
+                          + INTERVAL {sla_days} DAY
+                THEN 1 ELSE 0 END) AS BIGINT) AS ontime_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""

@@ -57,6 +57,7 @@ def empty_dir(tmp_path_factory):
     ("q15_top_supplier", 0),
     ("q8_market_share", 0),
     ("q21_sole_returned_supplier", 0),
+    ("q12_shipping_sla", 0),
 ])
 def test_empty_input_matches_oracle_shape(ray_session, empty_dir, name,
                                           want_rows):
