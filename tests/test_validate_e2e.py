@@ -55,3 +55,24 @@ def test_partition_status_matches_golden(results):
     assert (got["rows"].values == exp["rows"].values).all()
     assert (got.violation_count.values == exp.violation_count.values).all()
     assert (got["pass"].values == exp["pass"].values).all()
+
+
+def test_ref_distributed_matches_broadcast(results, monkeypatch):
+    """Above the REF_BROADCAST_MAX_ROWS gate the referential+caption
+    checks run as a distributed LEFT OUTER hash join (ref_violations)
+    instead of the broadcast RefIndex. Force that regime on the fixture
+    corpus and pin the full violation set byte-identical (VERDICT r3
+    "What's wrong" #3)."""
+    import pandas as pd
+
+    corpus, got, _ = results
+    monkeypatch.setattr(V, "REF_BROADCAST_MAX_ROWS", 0)
+    big = V.validate(corpus + "/images",
+                     corpus + "/ref_ids.parquet").to_pandas()
+    key = ["image_id", "partition_id", "check", "detail"]
+    pd.testing.assert_frame_equal(
+        got[key].sort_values(key).reset_index(drop=True),
+        big[key].sort_values(key).reset_index(drop=True))
+    # the distributed regime must actually exercise both ref checks
+    assert (big["check"] == "ref_orphan").any()
+    assert (big["check"] == "caption_ref_mismatch").any()
