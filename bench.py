@@ -91,6 +91,19 @@ def run_suite(sf_dir: str, num_cpus: int, names: list[str]) -> dict:
                    partitions=list(range(min(n_parts, max(8, num_cpus))))
                    ).count()
     qs = ent.queries()
+    # untimed warm-up of EVERY non-img family at smoke scale (sf0.001):
+    # the r3 warm-up covered only the img decode path, so the first
+    # timed run of each other family paid its cold costs inside its
+    # timed window — worker-side module imports (pandas/polars chains)
+    # plus first-execution topology setup; measured ~5 s landing in
+    # doc_minhash_near_dups alone at sf0.1 (BENCH_r03's minhash row was
+    # 2.5× its steady state for exactly this reason). Per-job costs
+    # amortize to zero at the north metric's 10^12-row scale.
+    warm_sf = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_sf):
+        for name in names:
+            if not name.startswith("img_"):
+                _consume(qs[name](warm_sf))
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name in names:

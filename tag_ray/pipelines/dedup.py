@@ -115,112 +115,15 @@ SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
 
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dup
+#
+# The signature/banding kernels live in functions/minhash.py (an
+# import-light module: numpy + pyarrow + hashing only) so a cold worker
+# executing the hot-path UDFs never imports THIS module's pandas +
+# ray.data chain — measured ~1.2 s per worker, ~4.7 s of first-run
+# stall on the banded stage at 32 CPUs (BENCH_r03's minhash cold cost).
 
-
-_MERSENNE = np.uint64((1 << 61) - 1)
-
-# per-worker MinHasher memo (resolved via the worker's own module import —
-# cloudpickle gives shipped closures FRESH __globals__ per task, so a
-# direct global reference would miss once per task; CLAUDE.md r2 lesson)
-_MH_CACHE: dict[tuple[int, int], "MinHasher"] = {}
-
-
-class MinHasher:
-    """128-permutation minhash over word k-shingles, vectorized.
-
-    Permutations h_i(x) = (a_i·x + b_i) mod (2^61-1); signature matrix
-    banded into ``bands`` of ``128/bands`` rows each (standard LSH)."""
-
-    def __init__(self, num_perm: int = 128, shingle_k: int = 3, seed: int = 1):
-        rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, 1 << 61, num_perm, dtype=np.uint64)
-        self.b = rng.integers(0, 1 << 61, num_perm, dtype=np.uint64)
-        self.num_perm = num_perm
-        self.k = shingle_k
-
-    def shingles(self, text: str) -> np.ndarray:
-        toks = text.strip().split()
-        if len(toks) < self.k:
-            grams = [" ".join(toks)] if toks else []
-        else:
-            grams = [" ".join(toks[i : i + self.k])
-                     for i in range(len(toks) - self.k + 1)]
-        return np.unique(hash_strings64(grams)) if grams else np.empty(0, np.uint64)
-
-    def signature(self, shingle_hashes: np.ndarray) -> np.ndarray:
-        if shingle_hashes.size == 0:
-            return np.full(self.num_perm, np.iinfo(np.uint64).max, np.uint64)
-        x = shingle_hashes[:, None]
-        with np.errstate(over="ignore"):
-            hv = (self.a[None, :] * x + self.b[None, :]) % _MERSENNE
-        return hv.min(axis=0)
-
-    def signatures_batch(self, texts: list[str],
-                         chunk_grams: int = 100_000) -> np.ndarray:
-        """(n_docs, num_perm) signature matrix, one vectorized pass:
-        flatten every doc's shingles, hash once, permute once, and
-        segment-min back per doc with ``np.minimum.reduceat`` — no
-        per-doc Python in the hot loop. Identical results to
-        ``signature(shingles(t))`` (duplicate shingles can't change a
-        min, so the per-doc unique step is unnecessary here)."""
-        grams: list[str] = []
-        counts = np.zeros(len(texts), dtype=np.int64)
-        for i, text in enumerate(texts):
-            toks = text.strip().split()
-            if not toks:
-                continue
-            if len(toks) < self.k:
-                grams.append(" ".join(toks))
-                counts[i] = 1
-            else:
-                m = len(toks) - self.k + 1
-                grams.extend(" ".join(toks[j:j + self.k]) for j in range(m))
-                counts[i] = m
-        out = np.full((len(texts), self.num_perm),
-                      np.iinfo(np.uint64).max, np.uint64)
-        if not grams:
-            return out
-        h = hash_strings64(grams)
-        ends = np.cumsum(counts)
-        starts = ends - counts
-        nonempty = np.flatnonzero(counts)
-        # chunk by docs so the (grams, num_perm) permute matrix stays small
-        lo = 0
-        while lo < len(nonempty):
-            hi = lo
-            total = 0
-            while hi < len(nonempty) and total < chunk_grams:
-                total += counts[nonempty[hi]]
-                hi += 1
-            docs = nonempty[lo:hi]
-            seg = np.concatenate([h[starts[d]:ends[d]] for d in docs])
-            with np.errstate(over="ignore"):
-                hv = (self.a[None, :] * seg[:, None] + self.b[None, :]) % _MERSENNE
-            offs = np.r_[0, np.cumsum(counts[docs])[:-1]]
-            out[docs] = np.minimum.reduceat(hv, offs, axis=0)
-            lo = hi
-        return out
-
-
-def _band_rows(ids: list, sigs: np.ndarray, bands: int) -> pa.Table:
-    n, num_perm = sigs.shape
-    rows_per = num_perm // bands
-    out_band, out_val, out_id = [], [], []
-    for b in range(bands):
-        seg = sigs[:, b * rows_per : (b + 1) * rows_per]
-        # one stable 64-bit value per band segment
-        val = seg[:, 0].copy()
-        for j in range(1, rows_per):
-            with np.errstate(over="ignore"):
-                val = val * np.uint64(1099511628211) ^ seg[:, j]  # FNV-style fold
-        out_band.append(np.full(n, b, np.int32))
-        out_val.append(val.view(np.int64))
-        out_id.append(ids)
-    return pa.Table.from_pydict({
-        "band_id": pa.array(np.concatenate(out_band)),
-        "band_val": pa.array(np.concatenate(out_val)),
-        "doc_id": pa.array(np.concatenate([np.asarray(i) for i in out_id])),
-    })
+from tag_ray.functions.minhash import (MinHasher, band_rows as _band_rows,
+                                       shingle_hashes)
 
 
 def _sorted_dedup_runs(g: pd.DataFrame, key_cols: list[str], id_col: str,
@@ -271,12 +174,13 @@ def doc_minhash_candidates(docs: rd.Dataset, num_perm: int = 128,
         # plain task, not an actor pool: MinHasher setup is trivial (two
         # rng arrays) and per-Dataset actor pools pay spin-up every sweep
         # (CLAUDE.md r2 lesson); the hasher is memoized per worker via
-        # the worker's own module import so warm workers skip the build
-        from tag_ray.pipelines import dedup as _d
+        # the worker's own import of the IMPORT-LIGHT kernel module —
+        # never this pipelines module (see the functions/minhash note)
+        from tag_ray.functions import minhash as _d
         key = (num_perm, shingle_k)
         mh = _d._MH_CACHE.get(key)
         if mh is None:
-            mh = _d._MH_CACHE[key] = MinHasher(num_perm, shingle_k)
+            mh = _d._MH_CACHE[key] = _d.MinHasher(num_perm, shingle_k)
         ids = b["doc_id"].to_numpy(zero_copy_only=False)
         return _band_rows(ids, mh.signatures_batch(b["text"].to_pylist()),
                           bands)
@@ -396,17 +300,10 @@ def doc_minhash_near_dups(sf_dir: str, jaccard_threshold: float = 0.5,
 # Shuffle carries only (gram_hash, doc_id, set_size) prefix rows.
 
 
-def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Distinct word-k-shingle hashes, sorted by hash (verification-side
-    set representation; prefix ordering is handled separately)."""
-    toks = text.strip().split()
-    if len(toks) < k:
-        grams = [" ".join(toks)] if toks else []
-    else:
-        grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
-    if not grams:
-        return np.empty(0, np.uint64)
-    return np.sort(np.unique(hash_strings64(grams)))
+# verification/prefix-side set representation — the import-light kernel
+# (functions/minhash.py) so worker closures referencing it never pull in
+# this module
+_shingle_hashes = shingle_hashes
 
 
 _DF_SAMPLE_DOCS = 2000
