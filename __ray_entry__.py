@@ -106,22 +106,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # Registry ORDER is driver-evidence policy (VERDICT r2 top item): the
     # driver's CORRECTNESS window records the first ~50 entries only
-    # (r01 = all 43, r02 = truncated at 50 of 85). Ordering:
-    #   1. the 22 oracle-carrying queries that had NO driver row in r02
-    #      (dedup/embeddings/text stars) — green locally, now evidenced;
-    #   2. the 44 oracle queries already driver-green in r02, with the
-    #      ones whose code paths CHANGED this round first (top_customers,
-    #      ref_orphan_orders, cust_with_open_orders, orders_price_ntile)
-    #      so they are re-checked inside the window;
-    #   3. no-oracle entries (img_* flagship family, approximate dedup,
-    #      sketches, export) last — their r02 rows-only checks stand, and
+    # (r01 = all 43, r02/r03 = truncated at 50). r02+r03 jointly
+    # evidenced 94 of the 101 oracles (disjoint windows); round-4 order
+    # (computed at the bottom of this function from the narrative
+    # grouping below):
+    #   1. the 7 oracles never evidenced by any driver window (r03's
+    #      deliberate deferrals: q6, q14, q19, q15, q18,
+    #      doc_unigram_surprisal, q12) plus any round-4 additions;
+    #   2. oracle entries whose engine code CHANGED this round
+    #      (_R04_RECHECK: broadcast gates, Dataset return) for
+    #      in-window re-evidence of the new paths;
+    #   3. remaining oracles (prior evidence stands; in-window rows are
+    #      free re-checks);
+    #   4. no-oracle entries (img_* flagship family, approximate dedup,
+    #      sketches, export) last — their rows-only checks stand, and
     #      entry() still smoke-runs the flagship every round.
-    # The dict below keeps that narrative grouping; the FINAL order is
-    # computed from it by _window_order() (bottom of this function):
-    # with 56 never-evidenced oracles and ~50 window rows, every
-    # r02-green entry yields its slot to a first-time-evidenced one,
-    # and _WINDOW_DEFER names the 6 that stay outside (each is the
-    # simplest member of a family already represented in-window).
     d = {
         # --- (1) oracle-carrying, no driver row in r02 ---
         "doc_exact_dup_groups": D.doc_exact_dup_groups,
@@ -257,14 +256,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_training_set": X.export_training_set_query,
     }
     oracles = set(oracle_sql())
-    unevidenced = [n for n in d
-                   if n in oracles and n not in _R02_EVIDENCED
-                   and n not in _WINDOW_DEFER]
-    deferred = [n for n in d if n in _WINDOW_DEFER]
-    evidenced = [n for n in d if n in oracles and n in _R02_EVIDENCED]
+    evidenced_prior = _R02_EVIDENCED | _R03_EVIDENCED
+    # round-4 window policy: (1) every oracle with NO driver hash row in
+    # any prior round (the 7 r03-deferred entries + anything new this
+    # round) leads the window; (2) oracles whose ENGINE CODE changed
+    # this round follow, so the driver re-evidences the new code paths;
+    # (3) remaining oracles (prior evidence stands, in-window rows are
+    # free re-checks); (4) rows-only entries last.
+    never = [n for n in d if n in oracles and n not in evidenced_prior]
+    recheck = [n for n in d if n in _R04_RECHECK and n not in never]
+    rest = [n for n in d
+            if n in oracles and n not in never and n not in _R04_RECHECK]
     rows_only = [n for n in d if n not in oracles]
-    return {n: d[n] for n in (*unevidenced, *deferred, *evidenced,
-                              *rows_only)}
+    return {n: d[n] for n in (*never, *recheck, *rest, *rows_only)}
 
 
 # Oracle queries hash-green in the driver's CORRECTNESS_r02 window —
@@ -288,19 +292,38 @@ _R02_EVIDENCED = frozenset({
     "stats_lineitem_global", "top_customers", "uniqueness_orderkey",
 })
 
-# 56 never-evidenced oracles vs ~50 window rows: these 6 wait outside
-# (each the simplest member of a family already evidenced in-window:
-# q6 ≈ q1's scan-agg, q14 ≈ q8's share division, q19 ≈ q17's bracket
-# bucket, q15/q18 are plain top-k/HAVING shapes next to q10/q21, and
-# the unigram surprisal is subsumed by the bigram's machinery). All 6
-# stay green under the local DuckDB gate (test_queries_oracle).
-_WINDOW_DEFER = (
-    "q6_forecast_revenue", "q14_promo_share", "q19_bracket_revenue",
-    "q15_top_supplier", "q18_large_volume_customers",
-    "doc_unigram_surprisal",
-    # arrived after the r03 window was assigned (never displace a
-    # window entry late in a round); local gate covers it
-    "q12_shipping_sla",
+# Oracle queries hash-green in the driver's CORRECTNESS_r03 window
+# (all 50 rows passed rows+schema+hash). r02+r03 jointly evidence
+# 94/101 oracles; the 7 outside both windows (q6, q14, q19, q15, q18,
+# doc_unigram_surprisal, q12 — r03's deliberate deferrals) lead the
+# r04 window so every oracle has a driver row across r02-r04.
+_R03_EVIDENCED = frozenset({
+    "doc_exact_dup_groups", "doc_dedup_keep_first",
+    "doc_ngram_jaccard_near_dups", "emb_near_pairs", "emb_norms",
+    "emb_label_stats", "emb_cosine_topk", "emb_label_centroid",
+    "emb_knn_classify", "doc_tfidf_topk", "doc_mean_term_freq",
+    "doc_unique_words", "docs_cube", "doc_source_len_quantiles",
+    "doc_redact_numbers", "doc_word_topk", "doc_lang_quality",
+    "doc_sample_hash", "doc_token_counts_regex", "doc_split_assign",
+    "doc_null_report", "doc_quality_filter", "doc_repetition_stats",
+    "doc_pack_assign", "doc_stratified_sample", "doc_char_trigrams_topk",
+    "events_funnel", "doc_length_outlier_filter", "events_retention",
+    "doc_dup_ngram_coverage", "events_transition_matrix",
+    "q10_returned_revenue", "q7_nation_volume", "doc_label_quality",
+    "events_value_moving_sum", "doc_dedup_keep_best", "doc_vocab_growth",
+    "orders_pareto_customers", "events_rolling_active_users",
+    "part_fuzzy_name_pairs", "doc_containment_near_dups",
+    "events_props_stats", "events_daily_anomaly",
+    "q4_priority_exists_count", "q13_order_count_distribution",
+    "q17_small_quantity_revenue", "q22_idle_balance_customers",
+    "doc_bigram_surprisal", "q8_market_share", "q21_sole_returned_supplier",
+})
+
+# Oracle entries whose ENGINE CODE changed in round 4 (broadcast gates,
+# Dataset return): prior evidence predates the change, so they get
+# in-window re-evidence right after the never-evidenced block.
+_R04_RECHECK = (
+    "q5_region_revenue", "q7_nation_volume", "doc_exact_dup_groups",
 )
 
 

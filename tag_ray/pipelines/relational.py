@@ -3322,6 +3322,14 @@ def q18_large_volume_customers(sf_dir: str, min_qty: int = 270,
                          columns=["c_custkey", "c_name"],
                          filters=[("c_custkey", "in", keys)]).to_pandas()
     out = top.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    # post-LIMIT name attach assumes referential integrity: an orphan
+    # o_custkey inside the top-k would silently SHRINK the result where
+    # the oracle (which joins before LIMIT) promotes the next order —
+    # fail loudly instead of diverging (ADVICE r3 #2)
+    if len(out) != len(top):
+        raise ValueError(
+            f"q18: {len(top) - len(out)} top-k orders reference missing "
+            "customers — dirty references require the pre-LIMIT join path")
     out = out.sort_values(["o_totalprice", "o_orderkey"],
                           ascending=[False, True]).reset_index(drop=True)
     return pd.DataFrame({
@@ -3696,6 +3704,12 @@ def q21_sole_returned_supplier(sf_dir: str, k: int = 25) -> pd.DataFrame:
     out = (top.merge(supp, left_on="l_suppkey", right_on="s_suppkey")
            .sort_values(["numwait", "s_suppkey"], ascending=[False, True])
            .reset_index(drop=True))
+    # same post-LIMIT attach guard as q18 (ADVICE r3 #2): an orphan
+    # l_suppkey in the top-k must fail loudly, not silently shrink
+    if len(out) != len(top):
+        raise ValueError(
+            f"q21: {len(top) - len(out)} top-k rows reference missing "
+            "suppliers — dirty references require the pre-LIMIT join path")
     return pd.DataFrame({
         "s_suppkey": out["s_suppkey"].astype("int64"),
         "s_name": out["s_name"],

@@ -171,3 +171,32 @@ def test_q5_join_fallback_matches_broadcast(ray_session, monkeypatch):
     large = R.q5_region_revenue(SF_DIR)
     pd.testing.assert_frame_equal(_norm(small), _norm(large))
     assert _norm(small)["n_items"].sum() > 0
+
+
+def test_q8_join_fallback_matches_broadcast(ray_session, monkeypatch):
+    """q8's customer attach has the same dual regime as q7; force the
+    partitioned branch and pin equality (ADVICE r3 #1). Params chosen so
+    the numerator (the nation-match is_x path) is NONZERO at sf0.001 —
+    the NATION_2/ASIA default is identically 0.0 there and would leave
+    that path unexercised."""
+    import duckdb
+
+    from tag_ray.pipelines import relational as R
+
+    params = dict(nation="NATION_13", region="MIDDLE EAST", ptype="PROMO")
+    small = R.q8_market_share(SF_DIR, **params)
+    assert (small["mkt_share"] > 0).any(), "numerator path unexercised"
+    monkeypatch.setattr(R, "BROADCAST_JOIN_MAX_BYTES", 0)
+    large = R.q8_market_share(SF_DIR, **params)
+    pd.testing.assert_frame_equal(
+        small.sort_values("o_year").reset_index(drop=True),
+        large.sort_values("o_year").reset_index(drop=True))
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF_DIR}/{t}.parquet')")
+    ora = con.execute(R.q8_sql(**params)).fetchdf()
+    pd.testing.assert_frame_equal(
+        small.sort_values("o_year").reset_index(drop=True),
+        ora.sort_values("o_year").reset_index(drop=True))

@@ -59,6 +59,30 @@ def _compare(name, ray_df, sql_df):
         else:
             ok = (av == bv).all() if len(av) else True
         assert ok, f"{name}: column {c} values differ\n{a[c].head()}\n{b[c].head()}"
+    _hash_compare(name, ray_df, sql_df)
+
+
+def _hash_compare(name, ray_df, sql_df):
+    """DTYPE-SENSITIVE gate, hashing raw (un-rounded) values per column
+    the way the driver does (pd.util.hash_pandas_object) — the tolerant
+    compare above passed HUGEINT→float64 divergences (docs_cube /
+    doc_mean_term_freq, CLAUDE.md r3 pitfall) that only the driver's
+    hash exposed; this closes the blind spot for window-deferred
+    entries (ADVICE r3 #4)."""
+    a = ray_df.reindex(sorted(ray_df.columns), axis=1).copy()
+    b = sql_df.reindex(sorted(sql_df.columns), axis=1).copy()
+    for df in (a, b):
+        for c in df.columns:
+            if str(df[c].dtype).startswith("datetime"):
+                df[c] = df[c].astype("int64")
+    a = a.sort_values(list(a.columns)).reset_index(drop=True)
+    b = b.sort_values(list(b.columns)).reset_index(drop=True)
+    for c in a.columns:
+        ha = pd.util.hash_pandas_object(a[c], index=False).to_numpy()
+        hb = pd.util.hash_pandas_object(b[c], index=False).to_numpy()
+        assert (ha == hb).all(), (
+            f"{name}: column {c} dtype-sensitive hash mismatch "
+            f"(engine dtype {a[c].dtype} vs oracle dtype {b[c].dtype})")
 
 
 def _oracle_pairs():

@@ -24,9 +24,11 @@ def test_oracle_entries_precede_rows_only():
 
 
 def test_window_slots_go_to_first_time_evidence():
-    """The ~50-row driver window must hold only oracle queries that have
-    no prior-round driver hash row — r02-green entries keep their r02
-    evidence and yield their slot (round-3 policy, VERDICT r2 item 1)."""
+    """Round-4 policy: every oracle with NO prior driver hash row
+    (outside _R02_EVIDENCED | _R03_EVIDENCED — the 7 r03 deferrals plus
+    any round-4 additions) must LEAD the window, followed by the
+    changed-code re-evidence block (_R04_RECHECK); all of both groups
+    inside the ~50-row window."""
     import __ray_entry__ as ent
 
     names = list(ent.queries())
@@ -34,13 +36,17 @@ def test_window_slots_go_to_first_time_evidence():
     win = names[:50]
     assert all(n in oracle for n in win), \
         [n for n in win if n not in oracle]
-    leaked = [n for n in win if n in ent._R02_EVIDENCED]
-    assert not leaked, f"r02-evidenced entries occupying window slots: {leaked}"
-    outside = [n for n in names[50:]
-               if n in oracle and n not in ent._R02_EVIDENCED]
-    assert set(outside) <= set(ent._WINDOW_DEFER), (
-        f"never-evidenced oracle entries outside the window that are not "
-        f"deliberately deferred: {sorted(set(outside) - set(ent._WINDOW_DEFER))}")
+    prior = ent._R02_EVIDENCED | ent._R03_EVIDENCED
+    never = [n for n in names if n in oracle and n not in prior]
+    assert never, "no never-evidenced oracles left — retire this policy"
+    assert set(names[:len(never)]) == set(never), (
+        f"never-evidenced oracles must lead the window: "
+        f"{[n for n in never if n not in names[:len(never)]]}")
+    assert len(never) <= 50, "never-evidenced block overflows the window"
+    recheck_block = names[len(never):len(never) + len(ent._R04_RECHECK)]
+    assert set(recheck_block) == set(ent._R04_RECHECK), recheck_block
+    for n in ent._R04_RECHECK:
+        assert n in win, f"changed-code entry {n} fell outside the window"
 
 
 def test_oracle_keys_subset_of_queries():
