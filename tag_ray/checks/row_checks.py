@@ -187,6 +187,33 @@ def validate_batch(batch: pa.Table, cfg: EngineConfig = DEFAULT_CONFIG,
             if d > cfg.phash_max_hamming:
                 out.add(ids[i], parts[i], Check.PHASH_MISMATCH, f"hamming={int(d)}")
 
+    # ---- declared-charset caption decode (M10 parity) --------------------
+    # caption_raw bytes must decode under their declared caption_enc
+    # label (ISO-8859-1 / UTF-8 / UTF-16 BOM/BE/LE — the reference's
+    # text-frame decode, id3v2frames.go:323-418) and normalize to the
+    # caption column. Nullable columns: tables without them skip this.
+    if ("caption_raw" in batch.column_names
+            and "caption_enc" in batch.column_names):
+        from tag_ray.functions.textenc import decode_declared
+
+        raws = batch["caption_raw"].to_pylist()
+        encs = batch["caption_enc"].to_pylist()
+        caps_enc = batch["caption"].to_pylist()
+        for i in range(n):
+            raw, enc = raws[i], encs[i]
+            if raw is None or enc is None:
+                continue
+            try:
+                decoded = decode_declared(raw, enc,
+                                          cfg.utf16_default_order)
+            except (UnicodeDecodeError, LookupError) as e:
+                out.add(ids[i], parts[i], Check.CAPTION_ENC,
+                        f"undecodable as {enc}: {e}")
+                continue
+            if caps_enc[i] is not None and decoded != caps_enc[i]:
+                out.add(ids[i], parts[i], Check.CAPTION_ENC,
+                        f"decoded({enc}) != caption")
+
     # ---- referential + caption checks against broadcast lookup -----------
     if isinstance(ref_md5, RefIndex):
         caps = batch["caption"].to_pylist()

@@ -22,6 +22,11 @@ class EngineConfig:
     max_decode_bytes: int = 64 * 1024 * 1024   # refuse to decode cells larger than this
     max_pixels: int = 64 * 1024 * 1024         # refuse w*h beyond this before allocating
 
+    # --- charset decode (M10): BOM-less utf-16 default byte order ---
+    # (the reference's DefaultUTF16WithBOMByteOrder package knob,
+    # id3v2frames.go:18 — T5 config surface)
+    utf16_default_order: str = "le"
+
     # --- declared-dims sanity range (range check) ---
     min_dim: int = 1
     max_dim: int = 1 << 20

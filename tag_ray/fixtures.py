@@ -51,7 +51,8 @@ def golden_caption(rng: np.random.Generator) -> str:
 # violation-class schedule: deterministic function of row index (per 100 rows)
 
 _SCHEDULE = (
-    ["ok"] * 66
+    ["ok"] * 62
+    + ["caption_enc_bad"] * 4
     + ["bad_magic"] * 4
     + ["truncated"] * 4
     + ["dim_mismatch"] * 4
@@ -118,6 +119,8 @@ class _Row:
     in_ref: bool = True
     ref_caption: str | None = None  # caption the ref table carries (md5'd)
     expected: list[tuple[str, str]] = None  # (check, detail_hint)
+    caption_raw: bytes | None = None   # declared-charset source bytes (M10)
+    caption_enc: str | None = None
 
 
 def _make_row(i: int, seed: int, n_partitions: int, cfg: EngineConfig,
@@ -160,6 +163,18 @@ def _make_row(i: int, seed: int, n_partitions: int, cfg: EngineConfig,
     elif cls == "caption_mismatch":
         row.caption = caption + " CORRUPTED"
         row.expected.append((Check.CAPTION_REF, "mismatch"))
+    elif cls == "caption_enc_bad":
+        # M10 violation class: the declared-charset source bytes either
+        # don't decode under their label or decode to something other
+        # than the caption column (id3v2frames.go:323-418 semantics)
+        if i % 2 == 0:
+            row.caption_enc = "utf-8"
+            row.caption_raw = b"\xc3\x28" + caption.encode()  # bad continuation
+            row.expected.append((Check.CAPTION_ENC, "undecodable"))
+        else:
+            row.caption_enc = "utf-16-be"
+            row.caption_raw = (caption + " ALTERED").encode("utf-16-be")
+            row.expected.append((Check.CAPTION_ENC, "decoded mismatch"))
     elif cls == "orphan_ref":
         row.in_ref = False
         row.expected.append((Check.REF_ORPHAN, "missing"))
@@ -210,6 +225,37 @@ def _make_row(i: int, seed: int, n_partitions: int, cfg: EngineConfig,
     return [row]
 
 
+_CAPTION_ENCS = ("utf-8", "iso-8859-1", "utf-16", "utf-16-be", "utf-16-le")
+
+
+def _assign_caption_enc(rows: list[_Row], seed: int, i: int) -> None:
+    """Give every generated row a declared-charset source column pair
+    (caption_raw, caption_enc) consistent with its FINAL caption —
+    ISO-8859-1 / UTF-8 / UTF-16 bare-LE (the BOM-less default-order
+    path) / UTF-16 LE-BOM / UTF-16 BE-BOM / explicit BE/LE, chosen by a
+    FRESH rng stream ([seed, i, 77]) so existing draws are untouched.
+    Rows the class logic already assigned (caption_enc_bad) keep their
+    adversarial values; null captions carry null source columns."""
+    from tag_ray.functions.textenc import encode_declared
+
+    rng = np.random.default_rng([seed, i, 77])
+    for r in rows:
+        if r.caption is None or r.caption_enc is not None:
+            continue
+        enc = _CAPTION_ENCS[int(rng.integers(len(_CAPTION_ENCS)))]
+        if enc == "utf-16":
+            v = int(rng.integers(3))
+            if v == 0:      # bare LE: exercises the default-order knob
+                raw = encode_declared(r.caption, "utf-16")
+            elif v == 1:    # LE BOM
+                raw = encode_declared(r.caption, "utf-16", with_bom=True)
+            else:           # BE BOM under the bare "utf-16" label
+                raw = encode_declared(r.caption, "utf-16-be", with_bom=True)
+        else:
+            raw = encode_declared(r.caption, enc)
+        r.caption_enc, r.caption_raw = enc, raw
+
+
 def generate(out_dir: str, n_rows: int = 1000, n_partitions: int = 4,
              seed: int | None = None, cfg: EngineConfig = DEFAULT_CONFIG,
              drift_partition: int | None = None, force: bool = False) -> str:
@@ -228,7 +274,7 @@ def generate(out_dir: str, n_rows: int = 1000, n_partitions: int = 4,
         drift_partition = n_partitions - 1
     manifest_path = os.path.join(out_dir, "manifest.json")
     params = {"n_rows": n_rows, "n_partitions": n_partitions, "seed": seed,
-              "drift_partition": drift_partition, "version": 4}
+              "drift_partition": drift_partition, "version": 5}
     if not force and os.path.exists(manifest_path):
         with open(manifest_path) as f:
             if json.load(f) == params:
@@ -237,7 +283,9 @@ def generate(out_dir: str, n_rows: int = 1000, n_partitions: int = 4,
 
     rows: list[_Row] = []
     for i in range(n_rows):
-        rows.extend(_make_row(i, seed, n_partitions, cfg, drift_partition))
+        rs = _make_row(i, seed, n_partitions, cfg, drift_partition)
+        _assign_caption_enc(rs, seed, i)
+        rows.extend(rs)
 
     # global near-dup expectation: same semantics as the pipeline
     # (functions/neardup.py) over the declared phash column, so accidental
@@ -270,6 +318,8 @@ def generate(out_dir: str, n_rows: int = 1000, n_partitions: int = 4,
                 "caption": [r.caption for r in prows],
                 "phash": [r.phash for r in prows],
                 "partition_id": [r.partition_id for r in prows],
+                "caption_raw": [r.caption_raw for r in prows],
+                "caption_enc": [r.caption_enc for r in prows],
             },
             schema=IMAGE_SCHEMA,
         )
@@ -328,5 +378,5 @@ def generate(out_dir: str, n_rows: int = 1000, n_partitions: int = 4,
 def cached_corpus(n_rows: int, n_partitions: int, seed: int = 42,
                   root: str = "/tmp/tag_ray_fixtures") -> str:
     """Generate-once cache keyed by params; safe to call from tests/bench."""
-    out = os.path.join(root, f"n{n_rows}_p{n_partitions}_s{seed}_v4")
+    out = os.path.join(root, f"n{n_rows}_p{n_partitions}_s{seed}_v5")
     return generate(out, n_rows=n_rows, n_partitions=n_partitions, seed=seed)

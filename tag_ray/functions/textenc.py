@@ -1,0 +1,71 @@
+"""Declared-charset → UTF-8 text normalization (M10 parity).
+
+The reference decodes ID3 text frames by a declared encoding byte —
+ISO-8859-1, UTF-16 with/without BOM, UTF-16BE, UTF-8
+(/root/reference/id3v2frames.go:323-418) — with a package-level
+default byte order for BOM-less UTF-16
+(/root/reference/id3v2frames.go:18, ``DefaultUTF16WithBOMByteOrder``).
+This module is the engine's vectorizable per-cell kernel for the same
+job: decode a ``caption_raw: binary`` cell by its declared
+``caption_enc`` label, surfacing undecodable bytes as violation rows
+(never task failures) in checks/row_checks.py.
+"""
+
+from __future__ import annotations
+
+# label → python codec for the fixed-byte-order encodings
+_SIMPLE = {
+    "iso-8859-1": "latin-1",
+    "latin-1": "latin-1",
+    "utf-8": "utf-8",
+    "utf-16-be": "utf-16-be",
+    "utf-16be": "utf-16-be",
+    "utf-16-le": "utf-16-le",
+    "utf-16le": "utf-16-le",
+}
+
+_BOM_LE = b"\xff\xfe"
+_BOM_BE = b"\xfe\xff"
+
+
+def decode_declared(data: bytes, encoding: str,
+                    default_utf16: str = "le") -> str:
+    """Decode ``data`` per its declared encoding label → str.
+
+    ``utf-16`` honors a BOM when present (stripped, like the
+    reference's decodeUTF16WithBOM) and falls back to
+    ``default_utf16`` ("le"/"be" — the T5 config knob) when absent.
+    Raises UnicodeDecodeError on undecodable bytes and LookupError on
+    an unknown label; callers convert both to violation rows.
+    """
+    enc = (encoding or "").strip().lower()
+    codec = _SIMPLE.get(enc)
+    if codec is not None:
+        return data.decode(codec)
+    if enc == "utf-16":
+        if data[:2] == _BOM_LE:
+            return data[2:].decode("utf-16-le")
+        if data[:2] == _BOM_BE:
+            return data[2:].decode("utf-16-be")
+        if default_utf16 not in ("le", "be"):
+            raise LookupError(f"bad default_utf16 {default_utf16!r}")
+        return data.decode("utf-16-" + default_utf16)
+    raise LookupError(f"unknown declared encoding {encoding!r}")
+
+
+def encode_declared(text: str, encoding: str,
+                    with_bom: bool = False) -> bytes:
+    """Inverse for fixtures/tests: encode ``text`` under the label.
+    ``with_bom`` prepends the byte-order mark (utf-16 labels only)."""
+    enc = (encoding or "").strip().lower()
+    if enc == "utf-16":
+        # bare "utf-16" writes the LE default; BOM is explicit
+        body = text.encode("utf-16-le")
+        return (_BOM_LE + body) if with_bom else body
+    codec = _SIMPLE.get(enc)
+    if codec is None:
+        raise LookupError(f"unknown declared encoding {encoding!r}")
+    body = text.encode(codec)
+    if with_bom and codec in ("utf-16-le", "utf-16-be"):
+        return (_BOM_LE if codec == "utf-16-le" else _BOM_BE) + body
+    return body

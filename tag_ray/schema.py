@@ -22,6 +22,12 @@ IMAGE_SCHEMA = pa.schema(
         ("caption", pa.string()),
         ("phash", pa.int64()),
         ("partition_id", pa.int32()),
+        # declared-charset caption source (M10 parity, round 4): the
+        # raw bytes a caption was ingested from plus their declared
+        # encoding label; nullable — tables without them skip the
+        # caption_encoding check
+        ("caption_raw", pa.binary()),
+        ("caption_enc", pa.string()),
     ]
 )
 
@@ -56,6 +62,7 @@ class Check:
     PHASH_MISMATCH = "phash_mismatch"    # declared phash vs recomputed (sum.go concept)
     CAPTION_REF = "caption_ref_mismatch"  # caption md5 vs reference table (manifest check)
     REF_ORPHAN = "ref_orphan"            # id missing from reference table (cmd/check/main.go:160-164)
+    CAPTION_ENC = "caption_encoding"     # declared-charset decode vs caption (id3v2frames.go:323-418)
     NULL_FIELD = "null_field"            # nulls in required columns
     RANGE_FIELD = "range_field"          # declared dims outside sane range
     DUP_ID = "dup_id"                    # image_id multiplicity > 1 (cmd/check/main.go:190)
@@ -63,5 +70,6 @@ class Check:
     DRIFT = "drift"                      # partition-level distribution drift (north_star)
 
     PER_ROW = (FMT_MAGIC, DECODE_ERROR, HEADER_DIMS, DECODE_INVARIANT,
-               PHASH_MISMATCH, CAPTION_REF, REF_ORPHAN, NULL_FIELD, RANGE_FIELD)
+               PHASH_MISMATCH, CAPTION_REF, REF_ORPHAN, CAPTION_ENC,
+               NULL_FIELD, RANGE_FIELD)
     CROSS_ROW = (DUP_ID, NEAR_DUP, DRIFT)

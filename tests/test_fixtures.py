@@ -29,7 +29,8 @@ def test_deterministic(tmp_path):
 def test_sidecars_consistent(smoke_corpus):
     imgs = pq.read_table(glob.glob(smoke_corpus + "/images/*.parquet")[0])
     assert imgs.schema.names == ["image_id", "bytes", "w", "h", "fmt",
-                                 "caption", "phash", "partition_id"]
+                                 "caption", "phash", "partition_id",
+                                 "caption_raw", "caption_enc"]
     ev = pq.read_table(smoke_corpus + "/expected_violations.parquet").to_pandas()
     st = pq.read_table(smoke_corpus + "/expected_partition_status.parquet").to_pandas()
     per_part = ev.groupby("partition_id").size().reindex(st.partition_id, fill_value=0)

@@ -72,7 +72,7 @@ def test_frame_sampler_plumbing(ray_session):
 
 def test_strict_mode_raises():
     with pytest.raises(NotImplementedError):
-        AudioDecodeStub(strict=True)._pcm(b"x", 10)
+        AudioDecodeStub(strict=True)._pcm(b"x", 10, 8000)
     with pytest.raises(NotImplementedError):
         FrameSampler(strict=True)._frame(b"x", 0)
 
@@ -88,3 +88,95 @@ def test_img_thumbnails_query(ray_session):
     assert (df["w"] == 16).all() and (df["h"] == 16).all()
     assert (df["fmt"] == "ppm").all()
     assert (df["n_bytes"] > 0).all()
+
+
+def test_wav_codec_roundtrip():
+    """Real RIFF/WAVE parse: synthesize → encode → decode must
+    round-trip samples within quantization error, 8/16-bit, mono and
+    stereo (the reference's 'same logical content, every format'
+    recipe, testdata/README.md)."""
+    from tag_ray.codecs import wav
+
+    t = np.linspace(0, 1, 8000, endpoint=False)
+    sig = 0.5 * np.sin(2 * np.pi * 440 * t)
+    for bits, tol in ((16, 1e-4), (8, 1e-2)):
+        for pcm in (sig, np.stack([sig, -sig], axis=1)):
+            data = wav.encode(pcm, 8000, bits=bits)
+            got, rate = wav.decode(data)
+            assert rate == 8000
+            want = pcm if pcm.ndim == 2 else pcm[:, None]
+            assert got.shape == want.shape
+            assert np.abs(got - want).max() < tol
+    h = wav.read_header(wav.encode(sig, 8000))
+    assert (h["n_samples"], h["sample_rate"], h["n_channels"]) == (8000, 8000, 1)
+
+
+def test_wav_codec_malformed():
+    """Every declared length is bounds-checked before trust
+    (util.go:44-54 guard); malformed inputs raise DecodeError, never
+    anything else."""
+    import struct
+
+    from tag_ray.codecs import DecodeError, wav
+
+    good = wav.encode(np.zeros(64), 8000)
+    cases = [
+        b"RIFX" + good[4:],                      # bad magic
+        good[:8] + b"WAVX" + good[12:],          # bad wave id
+        good[:40],                               # truncated data chunk
+        # chunk length over the 10 MB guard
+        good[:16].replace(b"fmt ", b"fmt ")[:12]
+        + b"fmt " + struct.pack("<I", 64 * 1024 * 1024) + good[20:],
+        b"RIFF\x10\x00\x00\x00WAVEdata\x00\x00\x00\x00",  # no fmt chunk
+    ]
+    for i, data in enumerate(cases):
+        with pytest.raises(DecodeError):
+            wav.read_header(data)
+
+
+def test_audio_features_real_wav(ray_session):
+    """The audio stage decodes synthesized WAV payloads for REAL: the
+    parsed rate/length drive duration, and a pure DC signal has zero
+    crossings == 0 while a 440 Hz tone has ~2·440 per second — values a
+    payload-seeded fake cannot produce."""
+    from tag_ray.codecs import wav
+    from tag_ray.stages.multimodal import AudioFeatures
+
+    t = np.linspace(0, 2, 16000, endpoint=False)
+    tone = 0.5 * np.sin(2 * np.pi * 440 * t)
+    dc = np.full(16000, 0.25)
+    rows = [
+        {"audio_id": "tone", "bytes": wav.encode(tone, 8000),
+         "sample_rate": 999, "n_samples": 5},   # declared metadata wrong
+        {"audio_id": "dc", "bytes": wav.encode(dc, 8000),
+         "sample_rate": 8000, "n_samples": 16000},
+        {"audio_id": "bad", "bytes": b"RIFF\xff\xff", "sample_rate": 1,
+         "n_samples": 1},                        # malformed → dropped
+    ]
+    out = pa.Table.from_pylist(
+        rd.from_items(rows).map_batches(
+            AudioFeatures, batch_format="pyarrow", batch_size=2,
+            concurrency=1).take_all())
+    got = {r["audio_id"]: r for r in out.to_pylist()}
+    assert set(got) == {"tone", "dc"}
+    assert abs(got["tone"]["duration_s"] - 2.0) < 1e-9  # parsed, not declared
+    assert abs(got["dc"]["duration_s"] - 2.0) < 1e-9
+    assert got["dc"]["zero_crossings"] == 0
+    # ~2·440·2 = 1760 ideal; int16 quantization of exact-zero samples
+    # adds sign wobble (measured 1919) — far from a seeded-noise fake's
+    # ~n/2 ≈ 8000, which is what this pin is for
+    assert 1700 <= got["tone"]["zero_crossings"] <= 2100
+    assert abs(got["dc"]["rms"] - 0.25) < 1e-3
+
+
+def test_audio_strict_mode_non_wav_only(ray_session):
+    """strict=True: WAV still decodes (it's real); non-RIFF raises the
+    clearly-marked NotImplementedError."""
+    from tag_ray.codecs import wav
+    from tag_ray.stages.multimodal import AudioFeatures
+
+    a = AudioFeatures(strict=True)
+    pcm, rate = a._pcm(wav.encode(np.zeros(32), 8000), 32, 8000)
+    assert rate == 8000 and len(pcm) == 32
+    with pytest.raises(NotImplementedError):
+        a._pcm(b"\x00not-riff", 10, 8000)
