@@ -194,3 +194,32 @@ def run_pair_indices(sorted_keys: list[np.ndarray], min_size: int = 2,
     if not pi:
         return np.empty(0, np.int64), np.empty(0, np.int64)
     return np.concatenate(pi), np.concatenate(pj)
+
+
+def collect_partial_sums(ds, keys: list[str], sums: list[str],
+                         row_cap: int = 100_000) -> "pd.DataFrame":
+    """Driver collect of per-block partial aggregates with BOUNDED
+    driver memory (VERDICT r3 stretch item).
+
+    Map-side-combine queries emit O(blocks × groups-per-block) partial
+    rows — bounded today by the capped reads (~CPUs/2 blocks) but
+    O(10^6) blocks at the north-star scale, which is the last
+    driver-side growth term in the relational family. Above ``row_cap``
+    partial rows, ONE tree level pre-combines inside the dataset
+    (repartition + a C-level pandas groupby per block) before the
+    collect, so the driver holds O(32 × groups) rows instead. Integer
+    sums are associative, so the result is bit-identical to the direct
+    collect (pinned by test_grouping::test_collect_partial_sums_tree).
+    ``keys=[]`` collapses to one global row of sums per block."""
+    import pandas as pd  # noqa: F401  (annotation only)
+
+    mat = ds.materialize()
+    if mat.count() > row_cap:
+        def comb(df):
+            if keys:
+                return (df.groupby(keys, sort=False)[sums]
+                        .sum().reset_index())
+            return df[sums].sum().to_frame().T
+
+        mat = mat.repartition(32).map_batches(comb, batch_format="pandas")
+    return mat.to_pandas()

@@ -354,7 +354,10 @@ def _q5_broadcast(sf_dir: str, ckeys: np.ndarray, ccodes: np.ndarray,
             "rev_c": pa.array(sums[nz].astype(np.int64)),
             "n": pa.array(cnts[nz])})
 
-    parts = li.map_batches(partial, batch_format="pyarrow").to_pandas()
+    from tag_ray.functions.grouping import collect_partial_sums
+    parts = collect_partial_sums(
+        li.map_batches(partial, batch_format="pyarrow"),
+        ["rcode"], ["rev_c", "n"])
     g = parts.groupby("rcode", sort=False).agg(
         rev_c=("rev_c", "sum"), n_items=("n", "sum")).reset_index()
     return pd.DataFrame({"r_name": names[g["rcode"]],
@@ -969,7 +972,10 @@ def lineitem_price_histogram(sf_dir: str, bin_width: float = 1000.0) -> pd.DataF
             "bin": pa.array(nz), "n": pa.array(n[nz]),
             "tot_c": pa.array(tot[nz].astype(np.int64))})
 
-    parts = li.map_batches(partial, batch_format="pyarrow").to_pandas()
+    from tag_ray.functions.grouping import collect_partial_sums
+    parts = collect_partial_sums(
+        li.map_batches(partial, batch_format="pyarrow"),
+        ["bin"], ["n", "tot_c"])
     g = parts.groupby("bin", sort=True).agg(
         n=("n", "sum"), tot_c=("tot_c", "sum")).reset_index()
     return pd.DataFrame({"bin": g["bin"], "n": g["n"],
@@ -1264,7 +1270,10 @@ def lineitem_price_median(sf_dir: str) -> pd.DataFrame:
         return pa.Table.from_pydict({"cents": pa.array(vals),
                                      "n": pa.array(cnts)})
 
-    parts2 = li.map_batches(fine_hist, batch_format="pyarrow").to_pandas()
+    from tag_ray.functions.grouping import collect_partial_sums
+    parts2 = collect_partial_sums(
+        li.map_batches(fine_hist, batch_format="pyarrow"),
+        ["cents"], ["n"])
     fine = parts2.groupby("cents")["n"].sum().sort_index()
     cz = before + fine.cumsum().to_numpy()
     vals = fine.index.to_numpy()
@@ -2648,7 +2657,9 @@ def q6_forecast_revenue(sf_dir: str) -> pd.DataFrame:
             "s": pa.array([int(rev.sum())], pa.int64()),
             "n": pa.array([b.num_rows], pa.int64())})
 
-    p = li.map_batches(partial, batch_format="pyarrow").to_pandas()
+    from tag_ray.functions.grouping import collect_partial_sums
+    p = collect_partial_sums(
+        li.map_batches(partial, batch_format="pyarrow"), [], ["s", "n"])
     n = int(p["n"].sum()) if len(p) else 0
     # SQL SUM over zero rows is NULL, not 0 — mirror it
     rev = float(p["s"].sum()) / 100.0 if n else float("nan")
@@ -2713,8 +2724,11 @@ def q14_promo_share(sf_dir: str) -> pd.DataFrame:
             "s": pa.array([int(s)], pa.int64()),
             "n": pa.array([b.num_rows], pa.int64())})
 
-    pt = rows.map_batches(partial, batch_format="pyarrow").to_pandas()
-    pp = promo.map_batches(partial, batch_format="pyarrow").to_pandas()
+    from tag_ray.functions.grouping import collect_partial_sums
+    pt = collect_partial_sums(
+        rows.map_batches(partial, batch_format="pyarrow"), [], ["s", "n"])
+    pp = collect_partial_sums(
+        promo.map_batches(partial, batch_format="pyarrow"), [], ["s", "n"])
     n_total = int(pt["n"].sum()) if len(pt) else 0
     if n_total == 0:  # SQL aggregates over zero rows → one NULL row
         nan = float("nan")

@@ -141,3 +141,34 @@ def test_min_size_skips_singletons(ray_session):
     got = coarse_grouped_apply(
         rd.from_arrow(tbl), ["k1", "k2"], pairs, num_buckets=3).to_pandas()
     assert len(got) == 0  # all groups singleton → nothing emitted
+
+
+def test_collect_partial_sums_tree(ray_session):
+    """The tree level (forced with row_cap=0) must be bit-identical to
+    the direct collect, keyed and keyless."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from tag_ray.functions.grouping import collect_partial_sums
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"k": rng.integers(0, 7, 500),
+                       "a": rng.integers(-100, 100, 500).astype("int64"),
+                       "b": rng.integers(0, 10, 500).astype("int64")})
+    ds = rd.from_pandas(df).repartition(13)
+
+    def total(frame):
+        return (frame.groupby("k")[["a", "b"]].sum().sort_index()
+                if "k" in frame else frame[["a", "b"]].sum())
+
+    direct = collect_partial_sums(ds, ["k"], ["a", "b"], row_cap=10**9)
+    tree = collect_partial_sums(ds, ["k"], ["a", "b"], row_cap=0)
+    pd.testing.assert_frame_equal(
+        direct.groupby("k")[["a", "b"]].sum().sort_index(),
+        tree.groupby("k")[["a", "b"]].sum().sort_index())
+
+    d2 = collect_partial_sums(ds, [], ["a", "b"], row_cap=10**9)
+    t2 = collect_partial_sums(ds, [], ["a", "b"], row_cap=0)
+    assert d2[["a", "b"]].sum().equals(t2[["a", "b"]].sum())
+    assert t2[["a", "b"]].dtypes.tolist() == [np.dtype("int64")] * 2
