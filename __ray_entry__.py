@@ -170,6 +170,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_active_users": R.events_rolling_active_users,
         "part_fuzzy_name_pairs": D.part_fuzzy_name_pairs,
         "doc_containment_near_dups": D.doc_containment_near_dups,
+        # --- (1c) oracle-carrying, ADDED in round 4 (never-evidenced ⇒
+        # the window-order computation places them in the head block) ---
+        "doc_bm25_topk": T.doc_bm25_topk,
+        "doc_word_cooccurrence": T.doc_word_cooccurrence,
+        "doc_ngram_novelty": T.doc_ngram_novelty,
         # --- (2) oracle-carrying, driver-green in r02; changed-this-round
         # first ---
         "top_customers": R.top_customers,
@@ -435,4 +440,7 @@ def oracle_sql() -> dict[str, str]:
         "q8_market_share": R.q8_sql(),
         "q21_sole_returned_supplier": R.q21_sql(),
         "q12_shipping_sla": R.q12_sql(),
+        "doc_bm25_topk": T.bm25_topk_sql(),
+        "doc_word_cooccurrence": T.cooccurrence_sql(),
+        "doc_ngram_novelty": T.NGRAM_NOVELTY_SQL,
     }

@@ -1683,3 +1683,247 @@ FROM tf JOIN tcb USING (big)
 JOIN uni ON uni.term = split_part(tf.big, ' ', 1)
 GROUP BY tf.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# BM25 scoring (round 4): the saturating tf × idf relevance score a
+# retrieval-backed data pipeline ranks corpus snippets with. Same
+# exchanges as TF-IDF — ONE term-keyed df attach, ONE doc-keyed bucket
+# pass (a doc's rows co-locate, so its length dl needs no extra
+# shuffle) — and the float expression mirrors the oracle term for term
+# (ranked on the ROUNDED score with a (doc_id, term) tiebreak, the
+# r2-proven ranked-float recipe).
+
+
+def doc_bm25_topk(sf_dir: str, k: int = 5, k1: float = 1.2,
+                  b: float = 0.75) -> rd.Dataset:
+    from tag_ray.functions.grouping import (coarse_bucket_apply,
+                                            collect_partial_sums,
+                                            grouped_aggregate)
+
+    docs = _ctable(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = docs.count()  # metadata-only
+    tf = docs.map_batches(_tf_rows_fn(), batch_format="pyarrow").materialize()
+    df = grouped_aggregate(tf, ["term"], {"df": (None, "count")})
+    scored = _attach_term_stat(tf, df, "df")
+
+    def tok_sum(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({"s": pa.array(
+            [int(np.sum(t["tf"].to_numpy(zero_copy_only=False)))], pa.int64())})
+
+    tot = collect_partial_sums(
+        tf.map_batches(tok_sum, batch_format="pyarrow"), [], ["s"])
+    # avgdl from EXACT integer sums → one double division, identical to
+    # the oracle's CAST(SUM(tf) AS DOUBLE) / COUNT(*)
+    avgdl = float(int(tot["s"].sum())) / n_docs
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        dl = (g.groupby("doc_id", sort=False)["tf"].transform("sum")
+              .to_numpy(dtype=np.int64))
+        tfv = g["tf"].to_numpy(dtype=np.int64)
+        dfv = g["df"].to_numpy(dtype=np.int64)
+        # expression tree mirrors bm25_topk_sql operation for operation
+        idf = np.log(1.0 + (n_docs - dfv + 0.5) / (dfv + 0.5))
+        score = round_half_away(
+            idf * (tfv * (k1 + 1.0))
+            / (tfv + k1 * ((1.0 - b) + b * dl / avgdl)), 4)
+        g = g.assign(bm25=score).sort_values(
+            ["doc_id", "bm25", "term"], ascending=[True, False, True],
+            kind="mergesort")
+        g["rk"] = g.groupby("doc_id", sort=False).cumcount() + 1
+        out = g[g["rk"] <= k]
+        return pd.DataFrame({
+            "doc_id": out["doc_id"].to_numpy(),
+            "term": out["term"].to_numpy(),
+            "tf": out["tf"].to_numpy(),
+            "bm25": out["bm25"].to_numpy(),
+            "rk": out["rk"].to_numpy().astype("int64")})
+
+    return coarse_bucket_apply(scored, ["doc_id"], topk)
+
+
+def bm25_topk_sql(k: int = 5, k1: float = 1.2, b: float = 0.75) -> str:
+    return rf"""
+WITH tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        FROM documents)
+  GROUP BY doc_id, term
+), df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+avgdl AS (SELECT CAST(SUM(tf) AS DOUBLE) / (SELECT n_docs FROM n) AS a FROM tf),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         ROUND(ln(1.0 + (n.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * (tf.tf * {k1 + 1.0!r})
+               / (tf.tf + {k1!r} * ({1.0 - b!r} + {b!r} * dl.dl / avgdl.a)),
+               4) AS bm25
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN n CROSS JOIN avgdl
+)
+SELECT doc_id, term, tf, bm25, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY bm25 DESC, term) AS rk
+  FROM scored) WHERE rk <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# bounded-vocabulary co-occurrence (round 4): document co-occurrence
+# counts for the TOP-V corpus terms — the collocation profile a
+# curriculum/topic audit reads. The unbounded pairwise explode is
+# quadratic in doc vocabulary and NOT run; instead the top-V vocabulary
+# (V ≤ 64) is collected once (bounded by construction), each doc
+# becomes ONE uint64 membership bitmask, and a (n × V) bit matrix
+# matmul per batch yields V×V partial counts — zero wide shuffles, the
+# exchange carries ≤ V²/2 rows per block.
+
+
+def doc_word_cooccurrence(sf_dir: str, v: int = 30,
+                          k: int = 50) -> pd.DataFrame:
+    import re
+
+    from tag_ray.functions.grouping import (collect_partial_sums,
+                                            grouped_aggregate)
+
+    docs = _ctable(sf_dir, "documents", columns=["doc_id", "text"])
+    tf = docs.map_batches(_tf_rows_fn(), batch_format="pyarrow")
+    df = grouped_aggregate(tf, ["term"], {"df": (None, "count")})
+    # top-V vocabulary, deterministic ties (df DESC, term ASC) — the
+    # ONLY driver-side artifact and it is V rows by construction
+    vocab_df = (df.sort(["df", "term"], descending=[True, False])
+                .limit(v).to_pandas())
+    vocab = sorted(vocab_df["term"].tolist())  # code order = lexicographic
+    code = {t: i for i, t in enumerate(vocab)}
+    nv = len(vocab)
+    if nv < 2:
+        return pd.DataFrame({"w1": pd.Series(dtype="object"),
+                             "w2": pd.Series(dtype="object"),
+                             "n_docs": pd.Series(dtype="int64")})
+
+    word_rx = re.compile(r"[a-z]+")
+
+    def pair_partial(bt: pa.Table) -> pa.Table:
+        texts = bt["text"].to_pylist()
+        bits = np.zeros((len(texts), nv), np.int64)
+        for r, t in enumerate(texts):
+            for w in set(word_rx.findall((t or "").lower())):
+                c = code.get(w)
+                if c is not None:
+                    bits[r, c] = 1
+        co = bits.T @ bits  # V×V doc co-occurrence counts, one matmul
+        iu, ju = np.triu_indices(nv, k=1)
+        n = co[iu, ju]
+        nz = n > 0
+        return pa.Table.from_pydict({
+            "i": pa.array(iu[nz].astype(np.int64)),
+            "j": pa.array(ju[nz].astype(np.int64)),
+            "n": pa.array(n[nz])})
+
+    parts = collect_partial_sums(
+        docs.map_batches(pair_partial, batch_format="pyarrow"),
+        ["i", "j"], ["n"])
+    if parts.empty:
+        return pd.DataFrame({"w1": pd.Series(dtype="object"),
+                             "w2": pd.Series(dtype="object"),
+                             "n_docs": pd.Series(dtype="int64")})
+    g = parts.groupby(["i", "j"], sort=False)["n"].sum().reset_index()
+    varr = np.asarray(vocab, dtype=object)
+    out = pd.DataFrame({"w1": varr[g["i"].to_numpy(dtype=np.int64)],
+                        "w2": varr[g["j"].to_numpy(dtype=np.int64)],
+                        "n_docs": g["n"].astype("int64")})
+    out = out.sort_values(["n_docs", "w1", "w2"],
+                          ascending=[False, True, True], kind="mergesort")
+    return out.head(k).reset_index(drop=True)
+
+
+def cooccurrence_sql(v: int = 30, k: int = 50) -> str:
+    return rf"""
+WITH words AS (
+  SELECT DISTINCT doc_id, term
+  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        FROM documents)
+), dfc AS (SELECT term, COUNT(*) AS df FROM words GROUP BY term),
+vocab AS (SELECT term FROM dfc ORDER BY df DESC, term LIMIT {v}),
+wv AS (SELECT doc_id, term FROM words
+       WHERE term IN (SELECT term FROM vocab))
+SELECT a.term AS w1, b.term AS w2, COUNT(*) AS n_docs
+FROM wv a JOIN wv b ON a.doc_id = b.doc_id AND a.term < b.term
+GROUP BY 1, 2
+ORDER BY n_docs DESC, w1, w2 LIMIT {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty (round 4): per-doc fraction of distinct 3-grams that
+# appear in NO other document — the originality/boilerplate signal
+# (complement of RefinedWeb's duplicated-n-gram coverage, which shares
+# this op's exchange shape: distinct gram TYPES only, never positions).
+# Integer counts cross every exchange; the single float division is
+# the finalize step, so oracle parity is exact.
+
+
+def doc_ngram_novelty(sf_dir: str, n: int = 3) -> rd.Dataset:
+    from tag_ray.functions.grouping import (coarse_bucket_apply,
+                                            grouped_aggregate)
+
+    docs = _ctable(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def gram_rows(bt: pa.Table) -> pa.Table:
+        ids, ngs = [], []
+        for d, t in zip(bt["doc_id"].to_pylist(), bt["text"].to_pylist()):
+            ws = (t or "").strip().split()
+            grams = {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+            ids.extend([d] * len(grams))
+            ngs.extend(grams)
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(ids, pa.int64()),
+            "ng": pa.array(ngs, pa.string())})
+
+    rows = docs.map_batches(gram_rows, batch_format="pyarrow")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        # per-doc distinct rows ⇒ df(ng) == group size within the bucket
+        # (every ng lands wholly in one coarse bucket)
+        df = g.groupby("ng", sort=False)["doc_id"].transform("size").to_numpy()
+        part = (g.assign(_n=1, _novel=(df == 1).astype(np.int64))
+                .groupby("doc_id", sort=False)[["_n", "_novel"]]
+                .sum().reset_index())
+        return pd.DataFrame({
+            "doc_id": part["doc_id"].to_numpy(dtype=np.int64),
+            "n_grams": part["_n"].to_numpy(dtype=np.int64),
+            "n_novel": part["_novel"].to_numpy(dtype=np.int64)})
+
+    partials = coarse_bucket_apply(rows, ["ng"], fold)
+    agg = grouped_aggregate(partials, ["doc_id"],
+                            {"n_grams": ("n_grams", "sum"),
+                             "n_novel": ("n_novel", "sum")})
+
+    def finalize(bt: pa.Table) -> pa.Table:
+        ng = bt["n_grams"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nn = bt["n_novel"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_pydict({
+            "doc_id": bt["doc_id"].cast(pa.int64()),
+            "n_grams": pa.array(ng),
+            "n_novel": pa.array(nn),
+            "novelty": pa.array(round_half_away(
+                nn.astype(np.float64) / ng, 4))})
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+NGRAM_NOVELTY_SQL = r"""
+WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+           FROM documents WHERE trim(text) <> ''),
+g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS ng
+      FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+            FROM w)),
+d AS (SELECT ng, COUNT(*) AS df FROM g GROUP BY ng)
+SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(COUNT(*) FILTER (WHERE d.df = 1) AS BIGINT) AS n_novel,
+       ROUND(CAST(COUNT(*) FILTER (WHERE d.df = 1) AS DOUBLE) / COUNT(*), 4)
+         AS novelty
+FROM g JOIN d USING (ng)
+GROUP BY g.doc_id
+"""
