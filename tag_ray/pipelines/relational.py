@@ -3489,45 +3489,77 @@ def q8_market_share(sf_dir: str, nation: str = "NATION_2",
                                      .isin(rkeys), "n_nationkey"]
                              .to_numpy(dtype=np.int64))
 
-    supp = pq.read_table(table_path(sf_dir, "supplier"),
-                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
-    sk = supp["s_suppkey"].to_numpy(dtype=np.int64)
-    so = np.argsort(sk)
-    supp_h = ray.put((sk[so], supp["s_nationkey"].to_numpy(
-        dtype=np.int64)[so], np.sort(np.fromiter(x_keys, dtype=np.int64,
-                                                 count=len(x_keys)))))
+    xk_sorted = np.sort(np.fromiter(x_keys, dtype=np.int64,
+                                    count=len(x_keys)))
 
     li = _ctable(sf_dir, "lineitem",
                  columns=["l_orderkey", "l_partkey", "l_suppkey",
                           "l_extendedprice", "l_discount"])
 
-    def derive(b: pa.Table) -> pa.Table:
-        keys, snat, xk = ray.get(supp_h)
-        k = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        idx = np.searchsorted(keys, k)
-        idx = np.minimum(idx, max(len(keys) - 1, 0))
-        # orphan suppkeys drop, mirroring the oracle's inner join
-        hit = (keys[idx] == k) if len(keys) else np.zeros(len(k), bool)
-        rev = _cents(b["l_extendedprice"].to_numpy(zero_copy_only=False)
-                     * (1.0 - b["l_discount"]
-                        .to_numpy(zero_copy_only=False)))[hit]
-        nt = snat[idx[hit]]
-        is_x = np.isin(nt, xk)
-        return pa.Table.from_pydict({
-            "l_partkey": pa.array(b["l_partkey"].to_numpy(
-                zero_copy_only=False)[hit]),
-            "l_orderkey": pa.array(b["l_orderkey"].to_numpy(
-                zero_copy_only=False)[hit]),
-            "num_c": pa.array(np.where(is_x, rev, 0)),
-            "den_c": pa.array(rev)})
+    # supplier-nation attach: byte-gated like q5/q7 (supplier scales
+    # with SF) — broadcast sorted-lookup below the gate, partitioned
+    # hash join above; the numerator flag is_x is just a membership
+    # test of the attached nationkey either way
+    n_supp = pq.ParquetFile(table_path(sf_dir, "supplier")).metadata.num_rows
+    if n_supp * 16 <= BROADCAST_JOIN_MAX_BYTES:
+        supp = pq.read_table(table_path(sf_dir, "supplier"),
+                             columns=["s_suppkey", "s_nationkey"]).to_pandas()
+        sk = supp["s_suppkey"].to_numpy(dtype=np.int64)
+        so = np.argsort(sk)
+        supp_h = ray.put((sk[so], supp["s_nationkey"].to_numpy(
+            dtype=np.int64)[so], xk_sorted))
+
+        def derive(b: pa.Table) -> pa.Table:
+            keys, snat, xk = ray.get(supp_h)
+            k = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            idx = np.searchsorted(keys, k)
+            idx = np.minimum(idx, max(len(keys) - 1, 0))
+            # orphan suppkeys drop, mirroring the oracle's inner join
+            hit = (keys[idx] == k) if len(keys) else np.zeros(len(k), bool)
+            rev = _cents(b["l_extendedprice"].to_numpy(zero_copy_only=False)
+                         * (1.0 - b["l_discount"]
+                            .to_numpy(zero_copy_only=False)))[hit]
+            nt = snat[idx[hit]]
+            is_x = np.isin(nt, xk)
+            return pa.Table.from_pydict({
+                "l_partkey": pa.array(b["l_partkey"].to_numpy(
+                    zero_copy_only=False)[hit]),
+                "l_orderkey": pa.array(b["l_orderkey"].to_numpy(
+                    zero_copy_only=False)[hit]),
+                "num_c": pa.array(np.where(is_x, rev, 0)),
+                "den_c": pa.array(rev)})
+
+        derived = li.map_batches(derive, batch_format="pyarrow")
+    else:
+        supp_ds = _ctable(sf_dir, "supplier",
+                          columns=["s_suppkey", "s_nationkey"])
+        li_s = li.join(supp_ds, "inner",
+                       num_partitions=join_num_partitions(),
+                       on=("l_suppkey",), right_on=("s_suppkey",))
+
+        def derive_joined(b: pa.Table) -> pa.Table:
+            rev = _cents(b["l_extendedprice"].to_numpy(zero_copy_only=False)
+                         * (1.0 - b["l_discount"]
+                            .to_numpy(zero_copy_only=False)))
+            nt = b["s_nationkey"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            is_x = np.isin(nt, xk_sorted)
+            return pa.Table.from_pydict({
+                "l_partkey": pa.array(b["l_partkey"].to_numpy(
+                    zero_copy_only=False)),
+                "l_orderkey": pa.array(b["l_orderkey"].to_numpy(
+                    zero_copy_only=False)),
+                "num_c": pa.array(np.where(is_x, rev, 0)),
+                "den_c": pa.array(rev)})
+
+        derived = li_s.map_batches(derive_joined, batch_format="pyarrow")
 
     part_keys = _ctable(sf_dir, "part", columns=["p_partkey", "p_type"]) \
         .map_batches(lambda b: b.filter(pc.equal(b["p_type"], ptype))
                      .select(["p_partkey"]), batch_format="pyarrow")
     n_part = pq.ParquetFile(table_path(sf_dir, "part")).metadata.num_rows
-    facts = filter_by_key_set(
-        li.map_batches(derive, batch_format="pyarrow"), "l_partkey",
-        part_keys, "p_partkey", est_rows=n_part)
+    facts = filter_by_key_set(derived, "l_partkey",
+                              part_keys, "p_partkey", est_rows=n_part)
 
     def combine(b: pa.Table) -> pa.Table:
         g = (pd.DataFrame({
