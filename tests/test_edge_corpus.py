@@ -153,7 +153,11 @@ NEW_OPS = ["doc_char_trigrams_topk", "doc_length_outlier_filter",
            # empty-doc token-count parity (0 tokens, not DuckDB's
            # split-of-'' artifact) + the cross-modal join over vec 1
            "doc_token_stats", "doc_pack_assign", "doc_label_quality",
-           "doc_word_topk", "doc_unique_words"]
+           "doc_word_topk", "doc_unique_words",
+           # round-4 ops: empty/one-word/sub-trigram docs hit BM25's
+           # missing-tf rows, the novelty CTE's trim guard, and the
+           # co-occurrence vocabulary boundary ties
+           "doc_bm25_topk", "doc_ngram_novelty", "doc_word_cooccurrence"]
 
 
 @pytest.mark.parametrize("name", NEW_OPS)
