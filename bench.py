@@ -185,6 +185,11 @@ def _flagship_rows(sf_dir: str) -> int:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--gated", action="store_true",
+                    help="with --scaling: gate each trial pair on a "
+                         "pre-registered kernel-burn probe so trials only "
+                         "fire in clean hypervisor-steal epochs; every "
+                         "probe (skipped or fired) is recorded in the JSON")
     ap.add_argument("--child", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--sf-dir", default=SF_DIR)
     ap.add_argument("--cpus", type=int, default=NUM_CPUS)
@@ -268,12 +273,42 @@ def main() -> None:
 
         import multiprocessing as mp
 
+        # --gated: per-TRIAL clean-epoch gate. This box's throughput
+        # swings ±50% on multi-minute hypervisor-steal epochs, and a
+        # clean probe before a ~20-min monolithic run guarantees nothing
+        # (runs 16/17 both flipped MID-RUN; BASELINE.md). Gating each
+        # ~4-min trial pair on its own pre-probe shrinks the exposure
+        # window 5×. The gate is PRE-REGISTERED (decided on the probe,
+        # BEFORE the pair runs — never on the pair's result) and every
+        # probe is recorded below, so this is epoch selection, not
+        # result selection. Threshold = lower edge of the documented
+        # clean absolute band (32-proc kernel burn; clean epochs read
+        # ~380-470k hashes/s on this box, dirty ones 190-260k).
+        probe_thresh = float(os.environ.get("GRAFT_CLEAN_PROBE", "360000"))
+        probe_sleep = float(os.environ.get("GRAFT_PROBE_SLEEP", "90"))
+        gate_budget = float(os.environ.get("GRAFT_GATE_BUDGET_S", "10800"))
+        probes: list[dict] = []
+        t_start = time.perf_counter()
+
         secs: dict[int, list[float]] = {lo: [], hi: []}
         ceil_effs: list[float] = []
         with mp.Pool(lo) as plo, mp.Pool(hi) as phi:
             plo.map(_burn, range(lo))   # warm (fork + imports), untimed
             phi.map(_burn, range(hi))
             for t in range(SCALING_TRIALS):
+                if args.gated:
+                    while True:
+                        rate = sum(phi.map(_burn, range(hi))) / 4.0
+                        forced = time.perf_counter() - t_start > gate_budget
+                        fire = rate >= probe_thresh or forced
+                        probes.append({"trial": t, "rate": round(rate),
+                                       "fired": fire, "forced": forced})
+                        print(f"probe trial={t} rate={rate:.0f} "
+                              f"fire={fire} forced={forced}",
+                              file=sys.stderr, flush=True)
+                        if fire:
+                            break
+                        time.sleep(probe_sleep)
                 # back-to-back pair per epoch; order alternates so
                 # residual intra-pair epoch drift debiases across the
                 # median; each sweep pair is followed immediately by a
@@ -328,6 +363,8 @@ def main() -> None:
             # median(raw)/median(ceiling) across different epochs
             "normalized_pairs": [round(e, 3) for e in norm_pairs],
             "value_normalized": round(_median(norm_pairs), 3),
+            **({"gated": True, "probe_threshold": probe_thresh,
+                "probes": probes} if args.gated else {}),
         }))
         return
 
