@@ -175,6 +175,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bm25_topk": T.doc_bm25_topk,
         "doc_word_cooccurrence": T.doc_word_cooccurrence,
         "doc_ngram_novelty": T.doc_ngram_novelty,
+        "q2_min_cost_supplier": R.q2_min_cost_supplier,
+        "q9_product_profit": R.q9_product_profit,
+        "q11_important_parts": R.q11_important_parts,
+        "q16_supplier_part_counts": R.q16_supplier_part_counts,
+        "q20_recent_demand_suppliers": R.q20_recent_demand_suppliers,
         # --- (2) oracle-carrying, driver-green in r02; changed-this-round
         # first ---
         "top_customers": R.top_customers,
@@ -443,4 +448,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_bm25_topk": T.bm25_topk_sql(),
         "doc_word_cooccurrence": T.cooccurrence_sql(),
         "doc_ngram_novelty": T.NGRAM_NOVELTY_SQL,
+        "q2_min_cost_supplier": R.q2_sql(),
+        "q9_product_profit": R.q9_sql(),
+        "q11_important_parts": R.q11_sql(),
+        "q16_supplier_part_counts": R.q16_sql(),
+        "q20_recent_demand_suppliers": R.q20_sql(),
     }

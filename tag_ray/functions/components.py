@@ -21,6 +21,7 @@ import ray.data as rd
 from ray.data.aggregate import Min, Sum
 
 from tag_ray.config import join_num_partitions as _np_
+from tag_ray.functions.joins import safe_join
 
 
 def union_find(pairs) -> dict[int, int]:
@@ -85,11 +86,12 @@ def connected_components(edges: rd.Dataset, a: str, b: str,
     prev_sum = None
     for _ in range(max_rounds):
         # edge → min(label[src], label[dst]) for both endpoints
-        with_src = e.join(labels, "inner", num_partitions=_np_(),
+        with_src = safe_join(e, labels, "inner", num_partitions=_np_(),
                           on=("src",), right_on=("node",))
-        with_both = with_src.rename_columns({"label": "l_src"}) \
-            .join(labels, "inner", num_partitions=_np_(),
-                  on=("dst",), right_on=("node",))
+        with_both = safe_join(
+            with_src.rename_columns({"label": "l_src"}), labels,
+            "inner", num_partitions=_np_(),
+            on=("dst",), right_on=("node",))
 
         def emit(t: pa.Table) -> pa.Table:
             import numpy as np
@@ -108,7 +110,7 @@ def connected_components(edges: rd.Dataset, a: str, b: str,
 
         # pointer jumping: label ← label(label), halving chain depth per
         # round → O(log diameter) total rounds instead of O(diameter)
-        jumped = labels.join(
+        jumped = safe_join(labels,
             labels.map_batches(
                 lambda t: pa.Table.from_pydict(
                     {"jnode": t["node"], "jlabel": t["label"]}),

@@ -31,6 +31,7 @@ import ray
 import ray.data as rd
 
 from tag_ray.config import join_num_partitions
+from tag_ray.functions.joins import safe_join
 
 # ≈ 32 MB of int64 keys on the driver / per worker via plasma — far
 # under worker heap, far over every sandbox scale factor. Tests force
@@ -97,7 +98,7 @@ def _distributed_filter(ds: rd.Dataset, col: str, keys_ds: rd.Dataset,
             return ds
         return ds.map_batches(lambda b: b.slice(0, 0),
                               batch_format="pyarrow")
-    joined = ds.join(marked, "left_outer",
+    joined = safe_join(ds, marked, "left_outer",
                      num_partitions=join_num_partitions(),
                      on=(col,), right_on=(_KEY,))
 

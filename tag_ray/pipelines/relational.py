@@ -27,6 +27,7 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from tag_ray.config import join_num_partitions
 from tag_ray.functions.rounding import round_half_away, to_cents
+from tag_ray.functions.joins import safe_join
 from tag_ray.sources import ctable
 
 
@@ -152,7 +153,7 @@ def q3_revenue_topk(sf_dir: str) -> pd.DataFrame:
     rev = grouped_aggregate(li.map_batches(derive, batch_format="pyarrow"),
                             ["l_orderkey"], {"rev_c": ("rev_c", "sum")})
     orders = _ctable(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
-    joined = rev.join(orders, "inner", num_partitions=join_num_partitions(),
+    joined = safe_join(rev, orders, "inner", num_partitions=join_num_partitions(),
                       on=("l_orderkey",), right_on=("o_orderkey",))
     top = joined.sort(["rev_c", "l_orderkey"], descending=[True, False]).limit(10)
     df = top.to_pandas()
@@ -257,7 +258,7 @@ def q5_region_revenue(sf_dir: str):
                          columns=["o_orderkey", "o_custkey"])
         cust_ds = _ctable(sf_dir, "customer",
                           columns=["c_custkey", "c_nationkey"])
-        orders_n = orders.join(cust_ds, "inner",
+        orders_n = safe_join(orders, cust_ds, "inner",
                                num_partitions=join_num_partitions(),
                                on=("o_custkey",), right_on=("c_custkey",))
 
@@ -287,7 +288,7 @@ def q5_region_revenue(sf_dir: str):
         })
 
     fact = li.map_batches(derive, batch_format="pyarrow")
-    joined = fact.join(orders_r, "inner", num_partitions=join_num_partitions(),
+    joined = safe_join(fact, orders_r, "inner", num_partitions=join_num_partitions(),
                        on=("l_orderkey",), right_on=("o_orderkey",))
     agg = joined.groupby("r_name").aggregate(
         Sum("rev_c", alias_name="rev_c"), Count(alias_name="n_items"))
@@ -2212,7 +2213,7 @@ def q10_returned_revenue(sf_dir: str, k: int = 20) -> pd.DataFrame:
 
     rev = li.map_batches(derive, batch_format="pyarrow")
     orders = _ctable(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    joined = rev.join(orders, "inner", num_partitions=join_num_partitions(),
+    joined = safe_join(rev, orders, "inner", num_partitions=join_num_partitions(),
                       on=("l_orderkey",), right_on=("o_orderkey",))
     per_cust = grouped_aggregate(joined.select_columns(["o_custkey", "rev_c"]),
                                  ["o_custkey"], {"rev_c": ("rev_c", "sum")})
@@ -2325,7 +2326,7 @@ def q7_nation_volume(sf_dir: str) -> pd.DataFrame:
         # then the same per-batch (orderkey, sn, year) pre-combine
         supp_ds = _ctable(sf_dir, "supplier",
                           columns=["s_suppkey", "s_nationkey"])
-        li_s = li.join(supp_ds, "inner",
+        li_s = safe_join(li, supp_ds, "inner",
                        num_partitions=join_num_partitions(),
                        on=("l_suppkey",), right_on=("s_suppkey",))
 
@@ -2370,13 +2371,13 @@ def q7_nation_volume(sf_dir: str) -> pd.DataFrame:
         orders = _ctable(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
         cust_ds = _ctable(sf_dir, "customer",
                           columns=["c_custkey", "c_nationkey"])
-        orders_cn = (orders.join(cust_ds, "inner",
+        orders_cn = (safe_join(orders, cust_ds, "inner",
                                  num_partitions=join_num_partitions(),
                                  on=("o_custkey",), right_on=("c_custkey",))
                      .select_columns(["o_orderkey", "c_nationkey"])
                      .rename_columns({"c_nationkey": "cn"}))
 
-    joined = fact.join(orders_cn, "inner",
+    joined = safe_join(fact, orders_cn, "inner",
                        num_partitions=join_num_partitions(),
                        on=("l_orderkey",), right_on=("o_orderkey",))
 
@@ -3323,7 +3324,7 @@ def q18_large_volume_customers(sf_dir: str, min_qty: int = 270,
     orders = _ctable(sf_dir, "orders",
                      columns=["o_orderkey", "o_custkey", "o_orderdate",
                               "o_totalprice"])
-    top = (big.join(orders, "inner", num_partitions=join_num_partitions(),
+    top = (safe_join(big, orders, "inner", num_partitions=join_num_partitions(),
                     on=("l_orderkey",), right_on=("o_orderkey",))
            .sort(["o_totalprice", "l_orderkey"], descending=[True, False])
            .limit(k).to_pandas())
@@ -3533,7 +3534,7 @@ def q8_market_share(sf_dir: str, nation: str = "NATION_2",
     else:
         supp_ds = _ctable(sf_dir, "supplier",
                           columns=["s_suppkey", "s_nationkey"])
-        li_s = li.join(supp_ds, "inner",
+        li_s = safe_join(li, supp_ds, "inner",
                        num_partitions=join_num_partitions(),
                        on=("l_suppkey",), right_on=("s_suppkey",))
 
@@ -3613,7 +3614,7 @@ def q8_market_share(sf_dir: str, nation: str = "NATION_2",
                 b["c_nationkey"].to_numpy(zero_copy_only=False)
                 .astype(np.int64), ray.get(rn_h)))).select(["c_custkey"]),
             batch_format="pyarrow")
-        orders_y = (orders.join(cust_ds, "inner",
+        orders_y = (safe_join(orders, cust_ds, "inner",
                                 num_partitions=join_num_partitions(),
                                 on=("o_custkey",), right_on=("c_custkey",))
                     .map_batches(lambda b: pa.Table.from_pydict({
@@ -3621,7 +3622,7 @@ def q8_market_share(sf_dir: str, nation: str = "NATION_2",
                         "o_year": pc.year(b["o_orderdate"])
                         .cast(pa.int64())}), batch_format="pyarrow"))
 
-    joined = fact.join(orders_y, "inner",
+    joined = safe_join(fact, orders_y, "inner",
                        num_partitions=join_num_partitions(),
                        on=("l_orderkey",), right_on=("o_orderkey",))
 
@@ -3812,7 +3813,7 @@ def q12_shipping_sla(sf_dir: str, sla_days: int = 90) -> pd.DataFrame:
     orders = _ctable(sf_dir, "orders",
                      columns=["o_orderkey", "o_orderdate",
                               "o_orderpriority"])
-    joined = li.join(orders, "inner", num_partitions=join_num_partitions(),
+    joined = safe_join(li, orders, "inner", num_partitions=join_num_partitions(),
                      on=("l_orderkey",), right_on=("o_orderkey",))
     sla_us = sla_days * 86_400_000_000
 
@@ -3858,4 +3859,770 @@ SELECT o_orderpriority,
                 THEN 1 ELSE 0 END) AS BIGINT) AS ontime_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 shape — min-cost regional supplier per part. The reference
+# partsupp relation doesn't exist in this schema, so the (part,
+# supplier) supply cost is re-derived from the lineitem fact: MIN
+# extended-price cents over the pair's lineitems (exact integers, no
+# float aggregation). Topology: both membership gates (part bracket,
+# regional supplier) are byte-gated `filter_by_key_set`s on the fact;
+# the per-pair MIN and the per-part winner filter are one coarse-bucket
+# exchange each, keyed so each part's pairs co-locate; supplier
+# attributes attach through the q7-style dual regime (broadcast under
+# the byte gate, partitioned join above it); the final ORDER/LIMIT is a
+# per-block partial top-k — the driver only ever holds k rows per block.
+
+
+def q2_min_cost_supplier(sf_dir: str, region: str = "EUROPE",
+                         ptype: str = "PROMO", max_size: int = 15,
+                         k: int = 100) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    from tag_ray.functions.grouping import (coarse_bucket_apply,
+                                            grouped_aggregate)
+    from tag_ray.functions.keyjoin import filter_by_key_set
+    from tag_ray.sources import table_path
+
+    empty = pd.DataFrame({
+        "s_acctbal": pd.Series([], dtype="float64"),
+        "s_name": pd.Series([], dtype="object"),
+        "n_name": pd.Series([], dtype="object"),
+        "p_partkey": pd.Series([], dtype="int64"),
+        "supply_cost": pd.Series([], dtype="float64")})
+
+    # nation/region: genuinely tiny dimensions (fixed cardinality),
+    # driver-side lookup arrays shipped by closure
+    nation = pq.read_table(table_path(sf_dir, "nation")).to_pandas()
+    reg = pq.read_table(table_path(sf_dir, "region")).to_pandas()
+    rkeys = reg.loc[reg["r_name"] == region, "r_regionkey"]
+    nat = nation[nation["n_regionkey"].isin(rkeys)]
+    nkeys_s = np.sort(nat["n_nationkey"].to_numpy(dtype=np.int64))
+    order = np.argsort(nat["n_nationkey"].to_numpy(dtype=np.int64))
+    nnames = nat["n_name"].to_numpy(dtype=object)[order]
+    nat_list = nkeys_s.tolist()
+
+    n_part = pq.ParquetFile(table_path(sf_dir, "part")).metadata.num_rows
+    n_supp = pq.ParquetFile(
+        table_path(sf_dir, "supplier")).metadata.num_rows
+
+    part_keys = _ctable(sf_dir, "part",
+                        columns=["p_partkey", "p_type", "p_size"]) \
+        .map_batches(lambda b: b.filter(pc.and_(
+            pc.equal(b["p_type"], ptype),
+            pc.less_equal(b["p_size"], max_size)))
+            .select(["p_partkey"]), batch_format="pyarrow")
+    supp_keys = _ctable(sf_dir, "supplier",
+                        columns=["s_suppkey", "s_nationkey"]) \
+        .map_batches(lambda b: b.filter(
+            pc.is_in(b["s_nationkey"],
+                     value_set=pa.array(nat_list, pa.int32())))
+            .select(["s_suppkey"]), batch_format="pyarrow")
+
+    li = _ctable(sf_dir, "lineitem",
+                 columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+    facts = filter_by_key_set(li, "l_partkey", part_keys, "p_partkey",
+                              est_rows=n_part)
+    facts = filter_by_key_set(facts, "l_suppkey", supp_keys, "s_suppkey",
+                              est_rows=n_supp)
+
+    def derive(b: pa.Table) -> pa.Table:
+        cost = _cents(b["l_extendedprice"].to_numpy(zero_copy_only=False))
+        g = (pd.DataFrame({
+            "l_partkey": b["l_partkey"].to_numpy(zero_copy_only=False),
+            "l_suppkey": b["l_suppkey"].to_numpy(zero_copy_only=False),
+            "cost_c": cost})
+            .groupby(["l_partkey", "l_suppkey"], sort=False)["cost_c"]
+            .min().reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cost = grouped_aggregate(
+        facts.map_batches(derive, batch_format="pyarrow"),
+        ["l_partkey", "l_suppkey"], {"cost_c": ("cost_c", "min")}) \
+        .materialize()
+    if cost.count() == 0:
+        return empty
+
+    def winners_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("l_partkey", sort=False)["cost_c"].transform("min")
+        return g[g["cost_c"].to_numpy() == m.to_numpy()]
+
+    win = coarse_bucket_apply(cost, ["l_partkey"], winners_bucket)
+
+    if n_supp * 64 <= BROADCAST_JOIN_MAX_BYTES:
+        supp = pq.read_table(
+            table_path(sf_dir, "supplier"),
+            columns=["s_suppkey", "s_name", "s_acctbal",
+                     "s_nationkey"]).to_pandas()
+        supp = supp[supp["s_nationkey"].isin(nat_list)]
+        sk = supp["s_suppkey"].to_numpy(dtype=np.int64)
+        so = np.argsort(sk)
+        supp_h = ray.put((sk[so],
+                          supp["s_name"].to_numpy(dtype=object)[so],
+                          supp["s_acctbal"].to_numpy(dtype=np.float64)[so],
+                          supp["s_nationkey"].to_numpy(dtype=np.int64)[so]))
+
+        def attach(b: pa.Table) -> pa.Table:
+            keys, names, acct, snk = ray.get(supp_h)
+            kk = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            idx = np.searchsorted(keys, kk)
+            idx = np.minimum(idx, max(len(keys) - 1, 0))
+            hit = (keys[idx] == kk) if len(keys) \
+                else np.zeros(len(kk), bool)
+            nidx = np.searchsorted(nkeys_s, snk[idx[hit]])
+            nidx = np.minimum(nidx, max(len(nkeys_s) - 1, 0))
+            return pa.Table.from_pydict({
+                "s_acctbal": pa.array(acct[idx[hit]]),
+                "s_name": pa.array(names[idx[hit]].astype(str)),
+                "n_name": pa.array(nnames[nidx].astype(str)),
+                "p_partkey": pa.array(b["l_partkey"].to_numpy(
+                    zero_copy_only=False).astype(np.int64)[hit]),
+                "cost_c": pa.array(b["cost_c"].to_numpy(
+                    zero_copy_only=False).astype(np.int64)[hit])})
+
+        attached = win.map_batches(attach, batch_format="pyarrow")
+    else:
+        # 10^9-row supplier: partitioned join; nation stays a closure
+        # lookup (fixed tiny cardinality)
+        supp_ds = _ctable(sf_dir, "supplier",
+                          columns=["s_suppkey", "s_name", "s_acctbal",
+                                   "s_nationkey"]) \
+            .map_batches(lambda b: b.filter(pc.is_in(
+                b["s_nationkey"],
+                value_set=pa.array(nat_list, pa.int32()))),
+                batch_format="pyarrow")
+        joined = safe_join(win, supp_ds, "inner",
+                          num_partitions=join_num_partitions(),
+                          on=("l_suppkey",), right_on=("s_suppkey",))
+
+        def project(b: pa.Table) -> pa.Table:
+            snk = b["s_nationkey"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            nidx = np.searchsorted(nkeys_s, snk)
+            nidx = np.minimum(nidx, max(len(nkeys_s) - 1, 0))
+            return pa.Table.from_pydict({
+                "s_acctbal": b["s_acctbal"],
+                "s_name": b["s_name"],
+                "n_name": pa.array(nnames[nidx].astype(str)),
+                "p_partkey": b["l_partkey"].cast(pa.int64()),
+                "cost_c": b["cost_c"].cast(pa.int64())})
+
+        attached = joined.map_batches(project, batch_format="pyarrow")
+
+    def topk_block(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["s_acctbal", "n_name", "s_name", "p_partkey"],
+            ascending=[False, True, True, True]).head(k)
+
+    parts = attached.map_batches(topk_block,
+                                 batch_format="pandas").to_pandas()
+    if len(parts) == 0:
+        return empty
+    out = parts.sort_values(
+        ["s_acctbal", "n_name", "s_name", "p_partkey"],
+        ascending=[False, True, True, True]).head(k).reset_index(drop=True)
+    return pd.DataFrame({
+        "s_acctbal": out["s_acctbal"].astype("float64"),
+        "s_name": out["s_name"],
+        "n_name": out["n_name"],
+        "p_partkey": out["p_partkey"].astype("int64"),
+        "supply_cost": out["cost_c"].astype("int64") / 100.0})
+
+
+def q2_sql(region: str = "EUROPE", ptype: str = "PROMO",
+           max_size: int = 15, k: int = 100) -> str:
+    return f"""
+WITH r_supp AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = '{region}'),
+parts AS (SELECT p_partkey FROM part
+          WHERE p_type = '{ptype}' AND p_size <= {max_size}),
+cost AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(CAST(round(l_extendedprice*100) AS BIGINT)) AS cost_c
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM parts)
+    AND l_suppkey IN (SELECT s_suppkey FROM r_supp)
+  GROUP BY 1, 2),
+best AS (SELECT l_partkey, MIN(cost_c) AS min_c FROM cost GROUP BY 1)
+SELECT s.s_acctbal, s.s_name, s.n_name, c.l_partkey AS p_partkey,
+       CAST(c.cost_c AS BIGINT)/100.0 AS supply_cost
+FROM cost c JOIN best b ON c.l_partkey = b.l_partkey AND c.cost_c = b.min_c
+            JOIN r_supp s ON c.l_suppkey = s.s_suppkey
+ORDER BY s.s_acctbal DESC, s.n_name, s.s_name, p_partkey
+LIMIT {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9 shape — product-type profit by supplier nation and order
+# year. Without partsupp, the per-unit cost term is the part's retail
+# price decimated to 10% (round(p_retailprice*10) = cents of 0.1×price,
+# exact integers): profit_c = round(ext*(1-disc)*100) − rdc×qty. Same
+# topology as q7: part and supplier are BOTH SF-scaling dimensions, so
+# each attach is dual-regime (broadcast sorted-array lookup under the
+# byte gate, partitioned join above it); the lineitem↔orders exchange
+# carries per-(orderkey, suppnation) cent partials pre-collapsed
+# map-side; the (nation, year) group set is fixed-cardinality, so the
+# final reduce is a bounded driver fold over per-block partials.
+
+
+def q9_product_profit(sf_dir: str, token: str = "widget") -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    from tag_ray.functions.grouping import collect_partial_sums
+    from tag_ray.sources import table_path
+
+    empty = pd.DataFrame({
+        "nation": pd.Series([], dtype="object"),
+        "o_year": pd.Series([], dtype="int64"),
+        "profit": pd.Series([], dtype="float64")})
+    # zero-row join-schema guard (same as q8/q12)
+    for t in ("lineitem", "orders"):
+        if pq.ParquetFile(table_path(sf_dir, t)).metadata.num_rows == 0:
+            return empty
+
+    nation = pq.read_table(table_path(sf_dir, "nation"),
+                           columns=["n_nationkey", "n_name"]).to_pandas()
+    nkeys = nation["n_nationkey"].to_numpy(dtype=np.int64)
+    norder = np.argsort(nkeys)
+    nkeys_s = nkeys[norder]
+    nnames = nation["n_name"].to_numpy(dtype=object)[norder]
+
+    li = _ctable(sf_dir, "lineitem",
+                 columns=["l_orderkey", "l_partkey", "l_suppkey",
+                          "l_quantity", "l_extendedprice", "l_discount"])
+
+    # part attach: SF-scaling dimension → dual regime (VERDICT r3
+    # discipline; forced-regime equality pinned by test_keyjoin)
+    n_part = pq.ParquetFile(table_path(sf_dir, "part")).metadata.num_rows
+    if n_part * 24 <= BROADCAST_JOIN_MAX_BYTES:
+        part = pq.read_table(
+            table_path(sf_dir, "part"),
+            columns=["p_partkey", "p_name", "p_retailprice"]).to_pandas()
+        part = part[part["p_name"].str.contains(token, regex=False)]
+        pk = part["p_partkey"].to_numpy(dtype=np.int64)
+        po = np.argsort(pk)
+        rdc = _cents(part["p_retailprice"].to_numpy() * 0.1)
+        part_h = ray.put((pk[po], rdc[po]))
+
+        def derive_part(b: pa.Table) -> pa.Table:
+            keys, rd_c = ray.get(part_h)
+            kk = b["l_partkey"].to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            idx = np.searchsorted(keys, kk)
+            idx = np.minimum(idx, max(len(keys) - 1, 0))
+            hit = (keys[idx] == kk) if len(keys) \
+                else np.zeros(len(kk), bool)
+            rev = _cents(
+                b["l_extendedprice"].to_numpy(zero_copy_only=False)
+                * (1.0 - b["l_discount"].to_numpy(zero_copy_only=False)))
+            qty = b["l_quantity"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            profit = rev[hit] - rd_c[idx[hit]] * qty[hit]
+            g = (pd.DataFrame({
+                "l_orderkey": b["l_orderkey"].to_numpy(
+                    zero_copy_only=False)[hit],
+                "l_suppkey": b["l_suppkey"].to_numpy(
+                    zero_copy_only=False)[hit],
+                "profit_c": profit})
+                .groupby(["l_orderkey", "l_suppkey"], sort=False)[
+                    "profit_c"].sum().reset_index())
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        fact = li.map_batches(derive_part, batch_format="pyarrow")
+    else:
+        part_ds = _ctable(sf_dir, "part",
+                          columns=["p_partkey", "p_name",
+                                   "p_retailprice"]) \
+            .map_batches(lambda b: pa.Table.from_pydict({
+                "p_partkey": b.filter(pc.match_substring(
+                    b["p_name"], token))["p_partkey"],
+                "rd_c": pa.array(_cents(b.filter(pc.match_substring(
+                    b["p_name"], token))["p_retailprice"].to_numpy(
+                        zero_copy_only=False) * 0.1))}),
+                batch_format="pyarrow")
+        li_p = safe_join(li, part_ds, "inner",
+                       num_partitions=join_num_partitions(),
+                       on=("l_partkey",), right_on=("p_partkey",))
+
+        def derive_part_joined(b: pa.Table) -> pa.Table:
+            rev = _cents(
+                b["l_extendedprice"].to_numpy(zero_copy_only=False)
+                * (1.0 - b["l_discount"].to_numpy(zero_copy_only=False)))
+            qty = b["l_quantity"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            profit = rev - b["rd_c"].to_numpy(
+                zero_copy_only=False).astype(np.int64) * qty
+            g = (pd.DataFrame({
+                "l_orderkey": b["l_orderkey"].to_numpy(
+                    zero_copy_only=False),
+                "l_suppkey": b["l_suppkey"].to_numpy(
+                    zero_copy_only=False),
+                "profit_c": profit})
+                .groupby(["l_orderkey", "l_suppkey"], sort=False)[
+                    "profit_c"].sum().reset_index())
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        fact = li_p.map_batches(derive_part_joined, batch_format="pyarrow")
+
+    # supplier-nation attach: identical dual regime to q7
+    n_supp = pq.ParquetFile(
+        table_path(sf_dir, "supplier")).metadata.num_rows
+    if n_supp * 16 <= BROADCAST_JOIN_MAX_BYTES:
+        supp = pq.read_table(table_path(sf_dir, "supplier"),
+                             columns=["s_suppkey",
+                                      "s_nationkey"]).to_pandas()
+        skeys = supp["s_suppkey"].to_numpy(dtype=np.int64)
+        so = np.argsort(skeys)
+        supp_h = ray.put((skeys[so],
+                          supp["s_nationkey"].to_numpy(
+                              dtype=np.int32)[so]))
+
+        def attach_sn(b: pa.Table) -> pa.Table:
+            keys, sn = ray.get(supp_h)
+            kk = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            idx = np.searchsorted(keys, kk)
+            idx = np.minimum(idx, max(len(keys) - 1, 0))
+            hit = (keys[idx] == kk) if len(keys) \
+                else np.zeros(len(kk), bool)
+            g = (pd.DataFrame({
+                "l_orderkey": b["l_orderkey"].to_numpy(
+                    zero_copy_only=False)[hit],
+                "sn": sn[idx[hit]].astype(np.int64),
+                "profit_c": b["profit_c"].to_numpy(
+                    zero_copy_only=False)[hit]})
+                .groupby(["l_orderkey", "sn"], sort=False)["profit_c"]
+                .sum().reset_index())
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        fact_sn = fact.map_batches(attach_sn, batch_format="pyarrow")
+    else:
+        supp_ds = _ctable(sf_dir, "supplier",
+                          columns=["s_suppkey", "s_nationkey"])
+        fact_j = safe_join(fact, supp_ds, "inner",
+                           num_partitions=join_num_partitions(),
+                           on=("l_suppkey",), right_on=("s_suppkey",))
+
+        def combine_sn(b: pa.Table) -> pa.Table:
+            g = (pd.DataFrame({
+                "l_orderkey": b["l_orderkey"].to_numpy(
+                    zero_copy_only=False),
+                "sn": b["s_nationkey"].to_numpy(
+                    zero_copy_only=False).astype(np.int64),
+                "profit_c": b["profit_c"].to_numpy(
+                    zero_copy_only=False)})
+                .groupby(["l_orderkey", "sn"], sort=False)["profit_c"]
+                .sum().reset_index())
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        fact_sn = fact_j.map_batches(combine_sn, batch_format="pyarrow")
+
+    orders = _ctable(sf_dir, "orders",
+                     columns=["o_orderkey", "o_orderdate"]) \
+        .map_batches(lambda b: pa.Table.from_pydict({
+            "o_orderkey": b["o_orderkey"],
+            "o_year": pc.year(b["o_orderdate"]).cast(pa.int64())}),
+            batch_format="pyarrow")
+    joined = safe_join(fact_sn, orders, "inner",
+                          num_partitions=join_num_partitions(),
+                          on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def combine(b: pa.Table) -> pa.Table:
+        g = (pd.DataFrame({
+            "sn": b["sn"].to_numpy(zero_copy_only=False),
+            "o_year": b["o_year"].to_numpy(zero_copy_only=False),
+            "profit_c": b["profit_c"].to_numpy(zero_copy_only=False)})
+            .groupby(["sn", "o_year"], sort=False)["profit_c"]
+            .sum().reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = collect_partial_sums(
+        joined.map_batches(combine, batch_format="pyarrow"),
+        ["sn", "o_year"], ["profit_c"])
+    if len(parts) == 0:
+        return empty
+    g = (parts.groupby(["sn", "o_year"], sort=False)["profit_c"]
+         .sum().reset_index())
+    sidx = np.searchsorted(nkeys_s, g["sn"].to_numpy(dtype=np.int64))
+    sidx = np.minimum(sidx, max(len(nkeys_s) - 1, 0))
+    hit = (nkeys_s[sidx] == g["sn"].to_numpy(dtype=np.int64)) \
+        if len(nkeys_s) else np.zeros(len(g), bool)
+    out = pd.DataFrame({
+        "nation": nnames[sidx[hit]].astype(str),
+        "o_year": g["o_year"].to_numpy(dtype=np.int64)[hit],
+        "profit": g["profit_c"].to_numpy()[hit].astype(np.int64) / 100.0})
+    return out.sort_values(["nation", "o_year"]).reset_index(drop=True)
+
+
+def q9_sql(token: str = "widget") -> str:
+    return f"""
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)
+                - CAST(round(p_retailprice*10) AS BIGINT)
+                  * CAST(l_quantity AS BIGINT)) AS BIGINT)/100.0 AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%{token}%'
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11 shape — value-concentrated parts: partkeys whose regional
+# lineitem value exceeds 1/1000 of the regional total. The per-part
+# value and the global total are exact integers end-to-end: cents×qty
+# per row, int64 per-part sums via one coarse exchange, and the global
+# total folded on the driver through per-block decimal-string partials
+# (the lineitem_corr discipline — immune to int64 overflow at the
+# north-star scale). The threshold test 1000·v > total is evaluated as
+# v > total//1000, exactly equivalent over integers. The output is
+# bounded by construction (< 1000 rows can each exceed 1/1000 of the
+# total), so the driver collect is O(1) regardless of SF.
+
+
+def q11_important_parts(sf_dir: str,
+                        region: str = "EUROPE") -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    from tag_ray.functions.grouping import grouped_aggregate
+    from tag_ray.functions.keyjoin import filter_by_key_set
+    from tag_ray.sources import table_path
+
+    empty = pd.DataFrame({
+        "p_partkey": pd.Series([], dtype="int64"),
+        "part_value": pd.Series([], dtype="float64")})
+
+    nation = pq.read_table(table_path(sf_dir, "nation")).to_pandas()
+    reg = pq.read_table(table_path(sf_dir, "region")).to_pandas()
+    rkeys = reg.loc[reg["r_name"] == region, "r_regionkey"]
+    nat_list = nation.loc[nation["n_regionkey"].isin(rkeys),
+                          "n_nationkey"].astype("int64").tolist()
+
+    n_supp = pq.ParquetFile(
+        table_path(sf_dir, "supplier")).metadata.num_rows
+    supp_keys = _ctable(sf_dir, "supplier",
+                        columns=["s_suppkey", "s_nationkey"]) \
+        .map_batches(lambda b: b.filter(
+            pc.is_in(b["s_nationkey"],
+                     value_set=pa.array(nat_list, pa.int32())))
+            .select(["s_suppkey"]), batch_format="pyarrow")
+
+    li = _ctable(sf_dir, "lineitem",
+                 columns=["l_partkey", "l_suppkey", "l_extendedprice",
+                          "l_quantity"])
+    facts = filter_by_key_set(li, "l_suppkey", supp_keys, "s_suppkey",
+                              est_rows=n_supp)
+
+    def derive(b: pa.Table) -> pa.Table:
+        v = _cents(b["l_extendedprice"].to_numpy(zero_copy_only=False)) \
+            * b["l_quantity"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        g = (pd.DataFrame({
+            "l_partkey": b["l_partkey"].to_numpy(zero_copy_only=False),
+            "v_c": v}).groupby("l_partkey", sort=False)["v_c"]
+            .sum().reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_part = grouped_aggregate(
+        facts.map_batches(derive, batch_format="pyarrow"),
+        ["l_partkey"], {"v_c": ("v_c", "sum")}).materialize()
+    if per_part.count() == 0:
+        return empty
+
+    # exact global total: per-block int partials shipped as decimal
+    # strings, Python-int fold on the driver (no int64 overflow)
+    tot_parts = per_part.map_batches(
+        lambda df: pd.DataFrame(
+            {"s": [str(_exact_sum(df["v_c"].to_numpy()))]}),
+        batch_format="pandas").to_pandas()
+    total = sum(int(s) for s in tot_parts["s"])
+    thresh = total // 1000  # v > thresh  ⟺  1000·v > total (integers)
+
+    win = per_part.map_batches(
+        lambda b: b.filter(pc.greater(b["v_c"], thresh)),
+        batch_format="pyarrow").to_pandas()
+    if len(win) == 0:
+        return empty
+    win = win.sort_values(["v_c", "l_partkey"],
+                          ascending=[False, True]).reset_index(drop=True)
+    return pd.DataFrame({
+        "p_partkey": win["l_partkey"].astype("int64"),
+        "part_value": win["v_c"].astype("int64") / 100.0})
+
+
+def q11_sql(region: str = "EUROPE") -> str:
+    return f"""
+WITH f AS (
+  SELECT l_partkey,
+         CAST(round(l_extendedprice*100) AS BIGINT)
+           * CAST(l_quantity AS BIGINT) AS v_c
+  FROM lineitem
+  WHERE l_suppkey IN (
+    SELECT s_suppkey FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = '{region}')),
+g AS (SELECT l_partkey, SUM(v_c) AS v FROM f GROUP BY 1)
+SELECT l_partkey AS p_partkey, CAST(v AS BIGINT)/100.0 AS part_value
+FROM g WHERE 1000 * v > (SELECT SUM(v) FROM g)
+ORDER BY v DESC, p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 shape — supplier breadth per part attribute group: how many
+# DISTINCT suppliers (excluding negative-balance ones, the complaint-
+# supplier analog) ship each (brand, type, size) combination. The
+# distinct (brand, type, size, suppkey) reduction runs as one coarse
+# exchange over map-side-deduped quads; the final per-attribute count
+# never shuffles — globally-distinct quads mean per-block partial
+# counts SUM correctly, so the bounded (≤ brands×types×sizes) reduce is
+# a driver fold over per-block partials. Part attributes attach via the
+# dual regime (broadcast arrays under the byte gate, partitioned join
+# above it); the supplier exclusion is a byte-gated ANTI key filter.
+
+
+def q16_supplier_part_counts(
+        sf_dir: str, sizes: tuple = (1, 4, 9, 16, 25, 36, 49),
+        excl_brand: str = "Brand#23",
+        excl_type: str = "PROMO") -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    from tag_ray.functions.grouping import (collect_partial_sums,
+                                            grouped_aggregate)
+    from tag_ray.functions.keyjoin import filter_by_key_set
+    from tag_ray.sources import table_path
+
+    empty = pd.DataFrame({
+        "p_brand": pd.Series([], dtype="object"),
+        "p_type": pd.Series([], dtype="object"),
+        "p_size": pd.Series([], dtype="int64"),
+        "supplier_cnt": pd.Series([], dtype="int64")})
+
+    n_supp = pq.ParquetFile(
+        table_path(sf_dir, "supplier")).metadata.num_rows
+    n_part = pq.ParquetFile(table_path(sf_dir, "part")).metadata.num_rows
+
+    bad_supp = _ctable(sf_dir, "supplier",
+                       columns=["s_suppkey", "s_acctbal"]) \
+        .map_batches(lambda b: b.filter(pc.less(b["s_acctbal"], 0.0))
+                     .select(["s_suppkey"]), batch_format="pyarrow")
+    li = _ctable(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    facts = filter_by_key_set(li, "l_suppkey", bad_supp, "s_suppkey",
+                              anti=True, est_rows=n_supp)
+
+    size_list = [int(s) for s in sizes]
+
+    if n_part * 64 <= BROADCAST_JOIN_MAX_BYTES:
+        part = pq.read_table(
+            table_path(sf_dir, "part"),
+            columns=["p_partkey", "p_brand", "p_type",
+                     "p_size"]).to_pandas()
+        part = part[(part["p_brand"] != excl_brand)
+                    & (part["p_type"] != excl_type)
+                    & part["p_size"].isin(size_list)]
+        pk = part["p_partkey"].to_numpy(dtype=np.int64)
+        po = np.argsort(pk)
+        part_h = ray.put((pk[po],
+                          part["p_brand"].to_numpy(dtype=object)[po],
+                          part["p_type"].to_numpy(dtype=object)[po],
+                          part["p_size"].to_numpy(dtype=np.int64)[po]))
+
+        def attach(b: pa.Table) -> pa.Table:
+            keys, brand, ptyp, size = ray.get(part_h)
+            kk = b["l_partkey"].to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            idx = np.searchsorted(keys, kk)
+            idx = np.minimum(idx, max(len(keys) - 1, 0))
+            hit = (keys[idx] == kk) if len(keys) \
+                else np.zeros(len(kk), bool)
+            # map-side dedupe: one drop_duplicates per batch before the
+            # coarse exchange
+            g = pd.DataFrame({
+                "p_brand": brand[idx[hit]].astype(str),
+                "p_type": ptyp[idx[hit]].astype(str),
+                "p_size": size[idx[hit]],
+                "l_suppkey": b["l_suppkey"].to_numpy(
+                    zero_copy_only=False)[hit]}).drop_duplicates()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        quads_in = facts.map_batches(attach, batch_format="pyarrow")
+    else:
+        part_ds = _ctable(sf_dir, "part",
+                          columns=["p_partkey", "p_brand", "p_type",
+                                   "p_size"]) \
+            .map_batches(lambda b: b.filter(pc.and_(pc.and_(
+                pc.not_equal(b["p_brand"], excl_brand),
+                pc.not_equal(b["p_type"], excl_type)),
+                pc.is_in(b["p_size"],
+                         value_set=pa.array(size_list, pa.int32())))),
+                batch_format="pyarrow")
+        joined = safe_join(facts, part_ds, "inner",
+                            num_partitions=join_num_partitions(),
+                            on=("l_partkey",), right_on=("p_partkey",))
+
+        def project(b: pa.Table) -> pa.Table:
+            g = pd.DataFrame({
+                "p_brand": b["p_brand"].to_pandas(),
+                "p_type": b["p_type"].to_pandas(),
+                "p_size": b["p_size"].to_numpy(
+                    zero_copy_only=False).astype(np.int64),
+                "l_suppkey": b["l_suppkey"].to_numpy(
+                    zero_copy_only=False)}).drop_duplicates()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        quads_in = joined.map_batches(project, batch_format="pyarrow")
+
+    quads = grouped_aggregate(
+        quads_in, ["p_brand", "p_type", "p_size", "l_suppkey"],
+        {"n": (None, "count")})
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["p_brand", "p_type", "p_size"], sort=False)
+             .size().rename("supplier_cnt").reset_index())
+        return g
+
+    parts = collect_partial_sums(
+        quads.map_batches(partial_counts, batch_format="pandas"),
+        ["p_brand", "p_type", "p_size"], ["supplier_cnt"])
+    if len(parts) == 0:
+        return empty
+    g = (parts.groupby(["p_brand", "p_type", "p_size"], sort=False)[
+        "supplier_cnt"].sum().reset_index())
+    g = g.sort_values(["supplier_cnt", "p_brand", "p_type", "p_size"],
+                      ascending=[False, True, True, True]) \
+        .reset_index(drop=True)
+    return pd.DataFrame({
+        "p_brand": g["p_brand"],
+        "p_type": g["p_type"],
+        "p_size": g["p_size"].astype("int64"),
+        "supplier_cnt": g["supplier_cnt"].astype("int64")})
+
+
+def q16_sql(sizes: tuple = (1, 4, 9, 16, 25, 36, 49),
+            excl_brand: str = "Brand#23",
+            excl_type: str = "PROMO") -> str:
+    in_list = ", ".join(str(int(s)) for s in sizes)
+    return f"""
+WITH rel AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+  WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                          WHERE s_acctbal < 0))
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM rel JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> '{excl_brand}' AND p_type <> '{excl_type}'
+  AND p_size IN ({in_list})
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q20 shape — recent-demand-concentrated suppliers: regional
+# suppliers having some part (in a name bracket) whose window-year
+# shipped quantity exceeds half its all-time quantity. Quantities go
+# through exact centi-units (round(qty*100) int64) so the 2·win > all
+# test is integer-exact. Everything is key-membership: two byte-gated
+# semi filters on the fact, one coarse (part, supplier) exchange for
+# the two sums, and the qualifying-supplier set applies to the supplier
+# table through the same gated key filter — no driver-side collect of
+# anything that scales.
+
+
+def q20_recent_demand_suppliers(sf_dir: str, token: str = "bolt",
+                                region: str = "AFRICA",
+                                year: int = 1997):
+    import pyarrow.parquet as pq
+
+    from tag_ray.functions.grouping import grouped_aggregate
+    from tag_ray.functions.keyjoin import filter_by_key_set
+    from tag_ray.sources import table_path
+
+    nation = pq.read_table(table_path(sf_dir, "nation")).to_pandas()
+    reg = pq.read_table(table_path(sf_dir, "region")).to_pandas()
+    rkeys = reg.loc[reg["r_name"] == region, "r_regionkey"]
+    nat_list = nation.loc[nation["n_regionkey"].isin(rkeys),
+                          "n_nationkey"].astype("int64").tolist()
+
+    n_part = pq.ParquetFile(table_path(sf_dir, "part")).metadata.num_rows
+    part_keys = _ctable(sf_dir, "part",
+                        columns=["p_partkey", "p_name"]) \
+        .map_batches(lambda b: b.filter(
+            pc.match_substring(b["p_name"], token))
+            .select(["p_partkey"]), batch_format="pyarrow")
+
+    li = _ctable(sf_dir, "lineitem",
+                 columns=["l_partkey", "l_suppkey", "l_quantity",
+                          "l_shipdate"])
+    facts = filter_by_key_set(li, "l_partkey", part_keys, "p_partkey",
+                              est_rows=n_part)
+    lo = pd.Timestamp(f"{year}-01-01")
+    hi = pd.Timestamp(f"{year + 1}-01-01")
+
+    def derive(b: pa.Table) -> pa.Table:
+        q = _cents(b["l_quantity"].to_numpy(zero_copy_only=False))
+        win = pc.and_(pc.greater_equal(b["l_shipdate"], pa.scalar(lo)),
+                      pc.less(b["l_shipdate"], pa.scalar(hi))) \
+            .to_numpy(zero_copy_only=False)
+        g = (pd.DataFrame({
+            "l_partkey": b["l_partkey"].to_numpy(zero_copy_only=False),
+            "l_suppkey": b["l_suppkey"].to_numpy(zero_copy_only=False),
+            "q_all": q, "q_win": np.where(win, q, 0)})
+            .groupby(["l_partkey", "l_suppkey"], sort=False)[
+                ["q_all", "q_win"]].sum().reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ps = grouped_aggregate(
+        facts.map_batches(derive, batch_format="pyarrow"),
+        ["l_partkey", "l_suppkey"],
+        {"q_all": ("q_all", "sum"), "q_win": ("q_win", "sum")})
+    qual = ps.map_batches(
+        lambda b: b.filter(pc.greater(pc.multiply(b["q_win"], 2),
+                                      b["q_all"]))
+        .select(["l_suppkey"]), batch_format="pyarrow").materialize()
+
+    supp = _ctable(sf_dir, "supplier",
+                   columns=["s_suppkey", "s_name", "s_nationkey"]) \
+        .map_batches(lambda b: b.filter(
+            pc.is_in(b["s_nationkey"],
+                     value_set=pa.array(nat_list, pa.int32())))
+            .select(["s_suppkey", "s_name"]), batch_format="pyarrow")
+    out = filter_by_key_set(supp, "s_suppkey", qual, "l_suppkey")
+    return out.sort("s_name")
+
+
+def q20_sql(token: str = "bolt", region: str = "AFRICA",
+            year: int = 1997) -> str:
+    return f"""
+WITH f AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(round(l_quantity*100) AS BIGINT)) AS q_all,
+         SUM(CASE WHEN l_shipdate >= TIMESTAMP '{year}-01-01'
+                   AND l_shipdate <  TIMESTAMP '{year + 1}-01-01'
+                  THEN CAST(round(l_quantity*100) AS BIGINT)
+                  ELSE 0 END) AS q_win
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part
+                      WHERE p_name LIKE '%{token}%')
+  GROUP BY 1, 2)
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM f WHERE 2*q_win > q_all)
+  AND s_nationkey IN (SELECT n_nationkey FROM nation
+                      JOIN region ON n_regionkey = r_regionkey
+                      WHERE r_name = '{region}')
+ORDER BY s_name
 """

@@ -1369,6 +1369,7 @@ GROUP BY g.doc_id
 
 def doc_label_quality(sf_dir: str) -> pd.DataFrame:
     from tag_ray.config import join_num_partitions
+    from tag_ray.functions.joins import safe_join
 
     docs = _ctable(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
 
@@ -1382,9 +1383,10 @@ def doc_label_quality(sf_dir: str) -> pd.DataFrame:
             "n_tokens": pa.array(n_tokens)})
 
     emb = _ctable(sf_dir, "embeddings", columns=["vec_id", "label"])
-    joined = (docs.map_batches(skinny, batch_format="pyarrow")
-              .join(emb, "inner", num_partitions=join_num_partitions(),
-                    on=("doc_id",), right_on=("vec_id",)))
+    joined = safe_join(
+        docs.map_batches(skinny, batch_format="pyarrow"), emb,
+        "inner", num_partitions=join_num_partitions(),
+        on=("doc_id",), right_on=("vec_id",))
 
     def combine(b: pa.Table) -> pa.Table:
         part = (pd.DataFrame({

@@ -29,6 +29,7 @@ from tag_ray.checks.row_checks import RowValidator
 from tag_ray.codecs.phash import hamming64, phash_bands
 from tag_ray.config import DEFAULT_CONFIG, EngineConfig, scale_concurrency
 from tag_ray.schema import VIOLATION_SCHEMA, Check
+from tag_ray.functions.joins import safe_join
 
 
 def keycol_num_blocks() -> int:
@@ -201,7 +202,7 @@ def ref_violations(images: rd.Dataset, ref: rd.Dataset) -> rd.Dataset:
 
     fact = images.map_batches(fact_md5, batch_format="pyarrow")
     marked = ref.map_batches(mark, batch_format="pyarrow")
-    joined = fact.join(marked, "left_outer",
+    joined = safe_join(fact, marked, "left_outer",
                        num_partitions=join_num_partitions(),
                        on=("image_id",), right_on=("_ref_id",))
 

@@ -200,3 +200,80 @@ def test_q8_join_fallback_matches_broadcast(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(
         small.sort_values("o_year").reset_index(drop=True),
         ora.sort_values("o_year").reset_index(drop=True))
+
+
+def test_new_tpch_shapes_join_fallback_matches_broadcast(ray_session,
+                                                         monkeypatch):
+    """The round-4 TPC-H shapes with gated dimension attaches (q2
+    supplier, q9 part+supplier, q16 part) must return bit-identical
+    results when the partitioned-join regime is forced (the repo-wide
+    gated-broadcast invariant; mirrors the q5/q7/q8 pins)."""
+    import ray.data as rd
+
+    from tag_ray.pipelines import relational as R
+
+    def _norm(res):
+        df = res.to_pandas() if isinstance(res, rd.Dataset) else res
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    small = {
+        "q2": R.q2_min_cost_supplier(SF_DIR),
+        "q9": R.q9_product_profit(SF_DIR),
+        "q16": R.q16_supplier_part_counts(SF_DIR),
+    }
+    assert all(len(v) > 0 for v in small.values()), \
+        "fallback paths unexercised on empty results"
+    monkeypatch.setattr(R, "BROADCAST_JOIN_MAX_BYTES", 0)
+    large = {
+        "q2": R.q2_min_cost_supplier(SF_DIR),
+        "q9": R.q9_product_profit(SF_DIR),
+        "q16": R.q16_supplier_part_counts(SF_DIR),
+    }
+    for k in small:
+        pd.testing.assert_frame_equal(_norm(small[k]), _norm(large[k]))
+
+
+def test_safe_join_survives_empty_blocks(ray_session):
+    """Ray's hash-shuffle join crashes (ArrowInvalid FieldRef no-match)
+    when a side ships EMPTY blocks — the normal output of any selective
+    map_batches filter — because a hash partition whose only
+    contribution from that side came from empty blocks builds a
+    schema-less table. Pin the failing regime and safe_join's fix on
+    both sides."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+    from tag_ray.functions.joins import safe_join
+
+    # right side: 8 blocks, 6 empty after the filter (sparse dim)
+    right = rd.from_arrow(pa.table({
+        "s_suppkey": np.arange(10, dtype=np.int64),
+        "s_name": [f"s{i}" for i in range(10)]})) \
+        .repartition(8) \
+        .map_batches(lambda b: b.filter(pc.is_in(
+            b["s_suppkey"], value_set=pa.array([2, 5, 7, 9], pa.int64()))),
+            batch_format="pyarrow")
+    left = rd.from_arrow(pa.table({
+        "l_suppkey": np.array([2, 5, 7, 9] * 4, dtype=np.int64),
+        "cost": np.arange(16, dtype=np.int64)}))
+    out = safe_join(left, right, "inner", num_partitions=8,
+                    on=("l_suppkey",), right_on=("s_suppkey",)).to_pandas()
+    assert len(out) == 16
+    assert set(out["s_name"]) == {"s2", "s5", "s7", "s9"}
+
+    # symmetric: left side with empty blocks, dense right
+    left_e = rd.from_arrow(pa.table({
+        "l_suppkey": np.arange(10, dtype=np.int64),
+        "cost": np.arange(10, dtype=np.int64)})) \
+        .repartition(8) \
+        .map_batches(lambda b: b.filter(pc.is_in(
+            b["l_suppkey"], value_set=pa.array([2, 9], pa.int64()))),
+            batch_format="pyarrow")
+    right_d = rd.from_arrow(pa.table({
+        "s_suppkey": np.arange(10, dtype=np.int64),
+        "s_name": [f"s{i}" for i in range(10)]}))
+    out = safe_join(left_e, right_d, "inner", num_partitions=8,
+                    on=("l_suppkey",), right_on=("s_suppkey",)).to_pandas()
+    assert sorted(out["l_suppkey"]) == [2, 9]
