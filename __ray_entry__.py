@@ -330,10 +330,14 @@ _R03_EVIDENCED = frozenset({
 })
 
 # Oracle entries whose ENGINE CODE changed in round 4 (broadcast gates,
-# Dataset return): prior evidence predates the change, so they get
-# in-window re-evidence right after the never-evidenced block.
+# Dataset return, the safe_join rewires and the keyjoin distributed
+# path): prior evidence predates the change, so they get in-window
+# re-evidence right after the never-evidenced block. (q12/q18's
+# safe_join rewires are covered by the never-evidenced head block.)
 _R04_RECHECK = (
     "q5_region_revenue", "q7_nation_volume", "doc_exact_dup_groups",
+    "q8_market_share", "q3_revenue_topk", "q21_sole_returned_supplier",
+    "doc_label_quality", "ref_orphan_orders", "cust_with_open_orders",
 )
 
 
