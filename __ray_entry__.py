@@ -259,6 +259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_minhash_dedup_apply": D.doc_minhash_dedup_apply,
         "emb_lsh_buckets": D.emb_lsh_buckets,
         "emb_lsh_near_pairs": D.emb_lsh_near_pairs,
+        "emb_semantic_dedup": D.emb_semantic_dedup,
         "emb_ivf_topk": E.emb_ivf_topk,
         "emb_pq_encode": E.emb_pq_encode,
         "emb_ivfpq_topk": E.emb_ivfpq_topk,

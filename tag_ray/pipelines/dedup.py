@@ -915,6 +915,115 @@ def emb_lsh_near_pairs(sf_dir: str, threshold: float = 0.45,
 
 
 # ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup-shaped: cluster, then prune within clusters)
+
+
+def emb_semantic_dedup(sf_dir: str, threshold: float = 0.45,
+                       n_clusters: int = 16, train_sample: int = 4096,
+                       max_cluster: int = 100_000,
+                       chunk: int = 2048) -> rd.Dataset | pd.DataFrame:
+    """Semantic dedup over the embedding column: spherical k-means
+    clusters, then WITHIN-cluster cosine pruning with a deterministic
+    keep-first rule — a vector is dropped iff some same-cluster vector
+    with a SMALLER vec_id has cosine ≥ ``threshold`` (``dup_of`` = the
+    smallest such id). The SemDeDup recipe (Abbas et al. 2023,
+    arXiv:2303.09540): clustering makes the O(n²) similarity scan
+    O(Σ c_i²), embarrassingly parallel across clusters.
+
+    Scale posture: centroids train on a bounded sample and broadcast
+    once (ray.put); the ONLY exchange is the cluster-keyed coarse
+    shuffle carrying (vec_id, cluster, normalized vector) — pairs never
+    ship. Partitioning assumption (documented SemDeDup practice):
+    ``n_clusters`` must scale ~n/target so clusters stay ≪
+    ``max_cluster``; oversized clusters are pruned in id-sorted
+    SEGMENTS of ``max_cluster`` rows (cross-segment duplicates missed —
+    a deterministic recall cutoff, never a blowup). Within a segment
+    the scan runs in ``chunk``-row matmul slices, so worker memory is
+    O(chunk × segment). Cluster-approximate ⇒ no SQL oracle; pytest
+    pins exactness vs the brute-force keep-first rule when clusters
+    are well-separated (and with n_clusters=1), plus determinism.
+
+    Generalizes the reference's hash-multiplicity dedup
+    (cmd/check/main.go:190) from exact-byte identity to semantic
+    identity."""
+    from tag_ray.functions.grouping import coarse_bucket_apply
+    from tag_ray.pipelines.embeddings import (_emb_matrix,
+                                              _read_first_rows,
+                                              _train_centroids)
+
+    empty = pa.Table.from_pydict({
+        "vec_id": pa.array([], pa.int64()),
+        "dup_of": pa.array([], pa.int64()),
+        "cos": pa.array([], pa.float64())})
+
+    sample = _emb_matrix(_read_first_rows(sf_dir, train_sample))
+    if sample.size == 0:
+        # empty embeddings table: a 0-row from_arrow Dataset loses its
+        # schema in to_pandas, so collapse to the typed frame (the
+        # doc_exact_dup_groups all-empty precedent)
+        return empty.to_pandas()
+    cents = _train_centroids(sample, n_clusters)
+    handle = ray.put(cents)
+
+    emb = _ctable(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def assign(b: pa.Table) -> pa.Table:
+        c = ray.get(handle)
+        m = _emb_matrix(b)
+        if m.size == 0:
+            return pa.Table.from_pydict({
+                "vec_id": pa.array([], pa.int64()),
+                "cluster": pa.array([], pa.int32()),
+                "nemb": pa.array([], pa.list_(pa.float64()))})
+        norms = np.sqrt((m * m).sum(axis=1))
+        mn = m / np.where(norms == 0, 1.0, norms)[:, None]
+        cl = (mn @ c.T).argmax(axis=1).astype(np.int32)
+        return pa.Table.from_pydict({
+            "vec_id": b["vec_id"].cast(pa.int64()),
+            "cluster": pa.array(cl),
+            "nemb": pa.FixedSizeListArray.from_arrays(
+                pa.array(mn.ravel()), mn.shape[1])})
+
+    assigned = emb.map_batches(assign, batch_format="pyarrow")
+
+    empty_df = pd.DataFrame({
+        "vec_id": pd.Series([], dtype="int64"),
+        "dup_of": pd.Series([], dtype="int64"),
+        "cos": pd.Series([], dtype="float64")})
+
+    def prune_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, grp in g.groupby("cluster", sort=False):
+            grp = grp.sort_values("vec_id", kind="mergesort")
+            ids = grp["vec_id"].to_numpy(dtype=np.int64)
+            m = np.stack(grp["nemb"].to_numpy())
+            for s in range(0, len(ids), max_cluster):
+                seg_ids = ids[s:s + max_cluster]
+                seg = m[s:s + max_cluster]
+                col_idx = np.arange(len(seg_ids))[None, :]
+                for cs in range(0, len(seg_ids), chunk):
+                    rows = seg[cs:cs + chunk]
+                    sims = rows @ seg.T
+                    hit = (sims >= threshold) \
+                        & (col_idx < (cs + np.arange(len(rows)))[:, None])
+                    any_hit = hit.any(axis=1)
+                    if not any_hit.any():
+                        continue
+                    sel = np.flatnonzero(any_hit)
+                    first = hit[sel].argmax(axis=1)
+                    outs.append(pd.DataFrame({
+                        "vec_id": seg_ids[cs + sel],
+                        "dup_of": seg_ids[first],
+                        "cos": round_half_away(sims[sel, first], 4)}))
+        if not outs:
+            return empty_df
+        return pd.concat(outs, ignore_index=True)
+
+    return coarse_bucket_apply(assigned, ["cluster"], prune_bucket) \
+        .sort("vec_id")
+
+
+# ---------------------------------------------------------------------------
 # near-dup clusters: transitive closure of the verified pair relation
 
 
