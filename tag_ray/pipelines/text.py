@@ -102,6 +102,60 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
 """
 
 
+def doc_weighted_sample(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """Weighted sample-without-replacement of k docs, importance ∝
+    length — the Efraimidis–Spirakis A-ES scheme (key = u^(1/w), keep
+    the k largest; here the equivalent ln(u)/w) made DETERMINISTIC by
+    deriving u from md5(doc_id), which is what makes it reproducible
+    across runs/shards/engines and oracle-checkable (the
+    doc_sample_hash discipline applied to weighted sampling).
+
+    Embarrassingly parallel: key derivation + per-batch partial top-k
+    in one map_batches, then a ≤k·blocks driver head — no shuffle.
+    Float parity: u is an exact 52-bit dyadic rational so the division
+    is bit-equal in both engines; ln goes through math.log (libm, the
+    same code path as DuckDB's ln) and ranking is on the ROUNDED key
+    with a doc_id tiebreaker (the tfidf/bm25 ranked-float recipe)."""
+    docs = _ctable(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def keyed_topk(b: pa.Table) -> pa.Table:
+        import math
+
+        ids = b["doc_id"].to_pylist()
+        nch = b["n_chars"].to_pylist()
+        keys = []
+        for d, n in zip(ids, nch):
+            h = int(hashlib.md5(str(d).encode()).hexdigest()[:13], 16)
+            u = (h + 1) / 4503599627370497.0  # (0, 1], 2^52 + 1
+            keys.append(math.log(u) / max(n or 1, 1))
+        kr = round_half_away(np.array(keys, dtype=np.float64), 9)
+        order = np.lexsort((np.asarray(ids, dtype=np.int64), -kr))[:k]
+        return pa.Table.from_pydict({
+            "doc_id": pa.array([ids[i] for i in order], pa.int64()),
+            "lang": pa.array([b["lang"][i].as_py() for i in order],
+                             pa.string()),
+            "n_chars": pa.array([nch[i] for i in order], pa.int64()),
+            "samp_key": pa.array(kr[order], pa.float64())})
+
+    df = docs.map_batches(keyed_topk, batch_format="pyarrow").to_pandas()
+    df = df.sort_values(["samp_key", "doc_id"],
+                        ascending=[False, True]).head(k)
+    return df.reset_index(drop=True)
+
+
+def weighted_sample_sql(k: int = 100) -> str:
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         ROUND(ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)
+                        AS BIGINT) + 1) / 4503599627370497.0)
+               / GREATEST(COALESCE(n_chars, 1), 1), 9) AS samp_key
+  FROM documents)
+SELECT doc_id, lang, n_chars, samp_key FROM keyed
+ORDER BY samp_key DESC, doc_id LIMIT {k}
+"""
+
+
 def doc_fingerprint(sf_dir: str) -> rd.Dataset:
     """Per-row content fingerprint (md5) — the analogue of the reference's
     metadata-invariant checksum printed per file (cmd/sum/main.go:36)."""
