@@ -251,6 +251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "img_phash_topk": img_phash_topk,
         "img_thumbnails": img_thumbnails,
         "doc_langid": T.doc_langid_heuristic,
+        "doc_quality_model_scores": T.doc_quality_model_scores,
         "doc_winnow_pairs": T.doc_winnow_fingerprint_pairs,
         "doc_word_heavy_hitters": T.doc_word_heavy_hitters,
         "doc_contamination_check": T.doc_contamination_check,

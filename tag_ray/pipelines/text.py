@@ -156,6 +156,21 @@ ORDER BY samp_key DESC, doc_id LIMIT {k}
 """
 
 
+def doc_quality_model_scores(sf_dir: str) -> rd.Dataset:
+    """Quality-classifier inference sweep: hashed-n-gram linear model
+    scored over every document by an ACTOR-POOL stage (weights built
+    once per actor in __init__, one vectorized pass per batch —
+    stages/scoring.py). The model is a seeded deterministic table
+    offline; hashed features aren't SQL-expressible ⇒ rows-only driver
+    check, kernel + actor-pool-equality pinned in tests/test_scoring.py."""
+    from tag_ray.stages.scoring import HashedLinearScorer
+
+    docs = table(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(
+        HashedLinearScorer, fn_constructor_args=(1234, 18),
+        batch_format="pyarrow", concurrency=(1, 8), batch_size=256)
+
+
 def doc_fingerprint(sf_dir: str) -> rd.Dataset:
     """Per-row content fingerprint (md5) — the analogue of the reference's
     metadata-invariant checksum printed per file (cmd/sum/main.go:36)."""
