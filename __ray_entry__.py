@@ -176,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_word_cooccurrence": T.doc_word_cooccurrence,
         "doc_ngram_novelty": T.doc_ngram_novelty,
         "doc_weighted_sample": T.doc_weighted_sample,
+        "events_latest_per_user": R.events_latest_per_user,
         "q2_min_cost_supplier": R.q2_min_cost_supplier,
         "q9_product_profit": R.q9_product_profit,
         "q11_important_parts": R.q11_important_parts,
@@ -454,6 +455,7 @@ def oracle_sql() -> dict[str, str]:
         "q12_shipping_sla": R.q12_sql(),
         "doc_bm25_topk": T.bm25_topk_sql(),
         "doc_weighted_sample": T.weighted_sample_sql(),
+        "events_latest_per_user": R.LATEST_PER_USER_SQL,
         "doc_word_cooccurrence": T.cooccurrence_sql(),
         "doc_ngram_novelty": T.NGRAM_NOVELTY_SQL,
         "q2_min_cost_supplier": R.q2_sql(),

@@ -1532,6 +1532,45 @@ SELECT user_id, event_type AS top_type, n FROM (
 """
 
 
+def events_latest_per_user(sf_dir: str) -> rd.Dataset:
+    """Changelog compaction (CDC upsert keep-latest): one surviving row
+    per key, the one with the greatest (ts, event_id). The map side
+    pre-compacts each block to its own per-user latest BEFORE the
+    exchange, so the shuffle carries ≤ users-per-block rows however
+    tall the log is — the standard log-compaction topology. Tiebreak is
+    total ((ts, event_id) — event_id unique) so both engines pick the
+    identical row."""
+    from tag_ray.functions.grouping import coarse_bucket_apply
+
+    ev = _ctable(sf_dir, "events",
+                 columns=["user_id", "event_id", "ts", "event_type",
+                          "value"])
+
+    def batch_latest(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        return pa.Table.from_pandas(df.drop_duplicates("user_id",
+                                                       keep="last"),
+                                    preserve_index=False)
+
+    def bucket_latest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        out = g.drop_duplicates("user_id", keep="last")
+        return out[["user_id", "event_id", "ts", "event_type",
+                    "value"]].reset_index(drop=True)
+
+    return coarse_bucket_apply(
+        ev.map_batches(batch_latest, batch_format="pyarrow"),
+        ["user_id"], bucket_latest)
+
+
+LATEST_PER_USER_SQL = """
+SELECT user_id, event_id, ts, event_type, value FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Global ranking windows: ROW_NUMBER / NTILE over the whole table.
 # The one window family a hash shuffle cannot express — implemented as

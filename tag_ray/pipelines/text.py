@@ -138,6 +138,12 @@ def doc_weighted_sample(sf_dir: str, k: int = 100) -> pd.DataFrame:
             "samp_key": pa.array(kr[order], pa.float64())})
 
     df = docs.map_batches(keyed_topk, batch_format="pyarrow").to_pandas()
+    if len(df) == 0:  # 0-row inputs yield a schema-less to_pandas frame
+        return pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            "lang": pd.Series([], dtype="object"),
+            "n_chars": pd.Series([], dtype="int64"),
+            "samp_key": pd.Series([], dtype="float64")})
     df = df.sort_values(["samp_key", "doc_id"],
                         ascending=[False, True]).head(k)
     return df.reset_index(drop=True)

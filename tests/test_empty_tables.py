@@ -58,6 +58,8 @@ def empty_dir(tmp_path_factory):
     ("q8_market_share", 0),
     ("q21_sole_returned_supplier", 0),
     ("q12_shipping_sla", 0),
+    ("events_latest_per_user", 0),
+    ("doc_weighted_sample", 0),
 ])
 def test_empty_input_matches_oracle_shape(ray_session, empty_dir, name,
                                           want_rows):
