@@ -919,7 +919,9 @@ def emb_lsh_near_pairs(sf_dir: str, threshold: float = 0.45,
 
 
 def emb_semantic_dedup(sf_dir: str, threshold: float = 0.45,
-                       n_clusters: int = 16, train_sample: int = 4096,
+                       n_clusters: int | None = None,
+                       target_cluster: int = 256,
+                       train_sample: int = 4096,
                        max_cluster: int = 100_000,
                        chunk: int = 2048) -> rd.Dataset | pd.DataFrame:
     """Semantic dedup over the embedding column: spherical k-means
@@ -933,9 +935,10 @@ def emb_semantic_dedup(sf_dir: str, threshold: float = 0.45,
     Scale posture: centroids train on a bounded sample and broadcast
     once (ray.put); the ONLY exchange is the cluster-keyed coarse
     shuffle carrying (vec_id, cluster, normalized vector) — pairs never
-    ship. Partitioning assumption (documented SemDeDup practice):
-    ``n_clusters`` must scale ~n/target so clusters stay ≪
-    ``max_cluster``; oversized clusters are pruned in id-sorted
+    ship. ``n_clusters`` defaults to n/``target_cluster`` (one parquet
+    footer count — the documented SemDeDup practice: cluster count
+    scales with the corpus so expected cluster size stays constant and
+    ≪ ``max_cluster``); oversized clusters are pruned in id-sorted
     SEGMENTS of ``max_cluster`` rows (cross-segment duplicates missed —
     a deterministic recall cutoff, never a blowup). Within a segment
     the scan runs in ``chunk``-row matmul slices, so worker memory is
@@ -962,6 +965,9 @@ def emb_semantic_dedup(sf_dir: str, threshold: float = 0.45,
         # schema in to_pandas, so collapse to the typed frame (the
         # doc_exact_dup_groups all-empty precedent)
         return empty.to_pandas()
+    if n_clusters is None:
+        n_clusters = max(1, table_rows(sf_dir, "embeddings")
+                         // target_cluster)
     cents = _train_centroids(sample, n_clusters)
     handle = ray.put(cents)
 
@@ -1019,8 +1025,11 @@ def emb_semantic_dedup(sf_dir: str, threshold: float = 0.45,
             return empty_df
         return pd.concat(outs, ignore_index=True)
 
-    return coarse_bucket_apply(assigned, ["cluster"], prune_bucket) \
-        .sort("vec_id")
+    out = coarse_bucket_apply(assigned, ["cluster"], prune_bucket) \
+        .sort("vec_id").materialize()
+    if out.count() == 0:  # stabilize the all-empty schema (see above)
+        return empty.to_pandas()
+    return out
 
 
 # ---------------------------------------------------------------------------
