@@ -182,6 +182,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q11_important_parts": R.q11_important_parts,
         "q16_supplier_part_counts": R.q16_supplier_part_counts,
         "q20_recent_demand_suppliers": R.q20_recent_demand_suppliers,
+        "orders_range_join": R.orders_range_join,
+        "events_value_ohlc": R.events_value_ohlc,
+        "events_value_mad": R.events_value_mad,
+        "ref_integrity_matrix": R.ref_integrity_matrix,
+        "events_daily_gapfill": R.events_daily_gapfill,
+        "events_type_share": R.events_type_share,
         # --- (2) oracle-carrying, driver-green in r02; changed-this-round
         # first ---
         "top_customers": R.top_customers,
@@ -463,4 +469,10 @@ def oracle_sql() -> dict[str, str]:
         "q11_important_parts": R.q11_sql(),
         "q16_supplier_part_counts": R.q16_sql(),
         "q20_recent_demand_suppliers": R.q20_sql(),
+        "orders_range_join": R.range_join_sql(),
+        "events_value_ohlc": R.OHLC_SQL,
+        "events_value_mad": R.MAD_SQL,
+        "ref_integrity_matrix": R.ref_matrix_sql(),
+        "events_daily_gapfill": R.GAPFILL_SQL,
+        "events_type_share": R.TYPE_SHARE_SQL,
     }

@@ -47,6 +47,14 @@ def grouped_histogram_quantiles(ds: rd.Dataset, key_col: str, val_col: str,
         return pa.Table.from_pandas(g, preserve_index=False)
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        # 0-row Datasets lose their schema through to_pandas() (columns
+        # []) — collapse to the typed empty result before the groupby
+        out = {key_col: pd.Series([], dtype=object),
+               "n": pd.Series([], dtype="int64")}
+        for name in probs:
+            out[name] = pd.Series([], dtype=float)
+        return pd.DataFrame(out)
     hist = parts.groupby([key_col, "v"], sort=True, dropna=False)["n"] \
                 .sum().reset_index()
 

@@ -4665,3 +4665,392 @@ WHERE s_suppkey IN (SELECT l_suppkey FROM f WHERE 2*q_win > q_all)
                       WHERE r_name = '{region}')
 ORDER BY s_name
 """
+
+
+# ---------------------------------------------------------------------------
+# Range join (self, per-customer ±30-day window): for every order, how
+# many OTHER orders the same customer placed within 30 calendar days,
+# and their total value. A true non-equi (band) join — the operator
+# class Ray Data has no primitive for — expressed as ONE coarse-bucket
+# shuffle on the equality key (customer) plus a fully vectorized
+# window sweep inside each bucket: sort by (cust, day), pack
+# (cust_rank, day) into one int64 so a single np.searchsorted pair
+# finds every row's window (the ±30 offset can never cross a customer
+# boundary because day < 2^22 - 30), and exclusive prefix sums answer
+# the windowed revenue exactly in integer cents. Nothing quadratic,
+# nothing driver-side; skew bound = largest single customer.
+
+
+def orders_range_join(sf_dir: str, window_days: int = 30) -> rd.Dataset:
+    from tag_ray.functions.grouping import coarse_bucket_apply
+
+    _US_PER_DAY = 86_400_000_000
+    od = _ctable(sf_dir, "orders",
+                 columns=["o_orderkey", "o_custkey", "o_orderdate",
+                          "o_totalprice"])
+
+    def skinny(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "o_orderkey": b["o_orderkey"],
+            "o_custkey": b["o_custkey"],
+            "day": pa.array(b["o_orderdate"].cast(pa.int64())
+                            .to_numpy(zero_copy_only=False) // _US_PER_DAY),
+            "p_c": pa.array(_cents(
+                b["o_totalprice"].to_numpy(zero_copy_only=False))),
+        })
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({
+                "o_orderkey": pd.Series([], dtype="int64"),
+                "nearby_orders": pd.Series([], dtype="int64"),
+                "nearby_revenue": pd.Series([], dtype=float)})
+        ck = g["o_custkey"].to_numpy().astype(np.int64)
+        day = g["day"].to_numpy().astype(np.int64)
+        okey = g["o_orderkey"].to_numpy().astype(np.int64)
+        p_c = g["p_c"].to_numpy().astype(np.int64)
+        order = np.lexsort([okey, day, ck])
+        ck, day, okey, p_c = ck[order], day[order], okey[order], p_c[order]
+        # dense customer rank × 2^22 + epoch day: monotone over the sort
+        # and windows of ±window_days stay inside one customer's span
+        # (epoch days of timestamp[us] data are ≪ 2^22)
+        cid = np.cumsum(np.r_[0, (ck[1:] != ck[:-1]).astype(np.int64)])
+        key = cid * (1 << 22) + day
+        lo = np.searchsorted(key, key - window_days, side="left")
+        hi = np.searchsorted(key, key + window_days, side="right")
+        cs = np.concatenate([np.zeros(1, np.int64), np.cumsum(p_c)])
+        return pd.DataFrame({
+            "o_orderkey": okey,
+            "nearby_orders": (hi - lo - 1).astype("int64"),
+            "nearby_revenue": (cs[hi] - cs[lo] - p_c) / 100.0})
+
+    return coarse_bucket_apply(
+        od.map_batches(skinny, batch_format="pyarrow"),
+        ["o_custkey"], bucket)
+
+
+def range_join_sql(window_days: int = 30) -> str:
+    return f"""
+WITH o AS (SELECT o_orderkey, o_custkey,
+                  epoch_us(o_orderdate) // 86400000000 AS day,
+                  CAST(round(o_totalprice*100) AS BIGINT) AS p_c
+           FROM orders)
+SELECT a.o_orderkey,
+       CAST(COUNT(b.o_orderkey) AS BIGINT) AS nearby_orders,
+       COALESCE(SUM(b.p_c), 0)/100.0 AS nearby_revenue
+FROM o a LEFT JOIN o b
+  ON a.o_custkey = b.o_custkey
+ AND b.day BETWEEN a.day - {window_days} AND a.day + {window_days}
+ AND a.o_orderkey <> b.o_orderkey
+GROUP BY a.o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# OHLC bars (windowed first/last aggregates): per (event_type, day) the
+# open/high/low/close of `value` plus volume. FIRST/LAST don't decompose
+# into plain sums, but they DO decompose into argmin/argmax partials:
+# every block collapses to one row per (type, day) carrying its own
+# first/last keyed by (ts, event_id), and the single coarse exchange
+# merges partials by re-picking min/max keys — the log-bar topology, so
+# the shuffle carries ≤ groups-per-block rows however tall the stream.
+
+
+def events_value_ohlc(sf_dir: str) -> rd.Dataset:
+    from tag_ray.functions.grouping import coarse_bucket_apply
+
+    _US_PER_DAY = 86_400_000_000
+    ev = _ctable(sf_dir, "events",
+                 columns=["event_id", "ts", "event_type", "value"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "event_type": b["event_type"].to_pandas(),
+            "day": ts // _US_PER_DAY,
+            "ts_us": ts,
+            "event_id": b["event_id"].to_numpy(zero_copy_only=False),
+            "v_c": _cents(b["value"].to_numpy(zero_copy_only=False))})
+        df = df.sort_values(["event_type", "day", "ts_us", "event_id"],
+                            kind="mergesort")
+        agg = (df.groupby(["event_type", "day"], sort=False)
+               .agg(lo_c=("v_c", "min"), hi_c=("v_c", "max"),
+                    n=("v_c", "size")).reset_index())
+        first = df.drop_duplicates(["event_type", "day"], keep="first")[
+            ["event_type", "day", "ts_us", "event_id", "v_c"]].rename(
+            columns={"ts_us": "f_ts", "event_id": "f_eid", "v_c": "open_c"})
+        last = df.drop_duplicates(["event_type", "day"], keep="last")[
+            ["event_type", "day", "ts_us", "event_id", "v_c"]].rename(
+            columns={"ts_us": "l_ts", "event_id": "l_eid", "v_c": "close_c"})
+        out = agg.merge(first, on=["event_type", "day"]) \
+                 .merge(last, on=["event_type", "day"])
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ga = g.sort_values(["event_type", "day", "f_ts", "f_eid"],
+                           kind="mergesort")
+        first = ga.drop_duplicates(["event_type", "day"], keep="first")[
+            ["event_type", "day", "open_c"]]
+        gd = g.sort_values(["event_type", "day", "l_ts", "l_eid"],
+                           kind="mergesort")
+        last = gd.drop_duplicates(["event_type", "day"], keep="last")[
+            ["event_type", "day", "close_c"]]
+        agg = (g.groupby(["event_type", "day"], sort=False)
+               .agg(lo_c=("lo_c", "min"), hi_c=("hi_c", "max"),
+                    n=("n", "sum")).reset_index())
+        m = agg.merge(first, on=["event_type", "day"]) \
+               .merge(last, on=["event_type", "day"])
+        return pd.DataFrame({
+            "event_type": m["event_type"],
+            "day": m["day"].astype("int64"),
+            "open": m["open_c"].to_numpy() / 100.0,
+            "high": m["hi_c"].to_numpy() / 100.0,
+            "low": m["lo_c"].to_numpy() / 100.0,
+            "close": m["close_c"].to_numpy() / 100.0,
+            "volume": m["n"].astype("int64")})
+
+    return coarse_bucket_apply(
+        ev.map_batches(partials, batch_format="pyarrow"),
+        ["event_type", "day"], bucket)
+
+
+OHLC_SQL = """
+WITH e AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(round(value*100) AS BIGINT) AS v_c, ts, event_id
+  FROM events),
+w AS (
+  SELECT event_type, day, v_c,
+         ROW_NUMBER() OVER (PARTITION BY event_type, day
+                            ORDER BY ts, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY event_type, day
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM e)
+SELECT event_type, day,
+       MAX(CASE WHEN rn_a = 1 THEN v_c END)/100.0 AS open,
+       MAX(v_c)/100.0 AS high,
+       MIN(v_c)/100.0 AS low,
+       MAX(CASE WHEN rn_d = 1 THEN v_c END)/100.0 AS close,
+       CAST(COUNT(*) AS BIGINT) AS volume
+FROM w GROUP BY event_type, day
+"""
+
+
+# ---------------------------------------------------------------------------
+# Robust spread (median absolute deviation) per group: two passes of
+# the mergeable value-histogram quantile machinery (bounded-grid value
+# column), broadcasting the tiny per-group median table between them.
+# Interpolation goes through functions/quantiles._interp — the single
+# DuckDB-quantile_cont-exact implementation — on BOTH passes, and the
+# deviations |v − med| stay per-row float ops (bit-identical across
+# engines), so the MAD is oracle-exact without any sort.
+
+
+def events_value_mad(sf_dir: str) -> pd.DataFrame:
+    from tag_ray.functions.quantiles import grouped_histogram_quantiles
+
+    ev = _ctable(sf_dir, "events", columns=["event_type", "value"])
+    med = grouped_histogram_quantiles(ev, "event_type", "value",
+                                      {"med": 0.5})
+    if med.empty:
+        return pd.DataFrame({
+            "event_type": pd.Series([], dtype=object),
+            "n": pd.Series([], dtype="int64"),
+            "med": pd.Series([], dtype=float),
+            "mad": pd.Series([], dtype=float)})
+    med_map = dict(zip(med["event_type"], med["med"]))  # |types| entries
+
+    def dev(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_pandas()
+        v = b["value"].to_numpy(zero_copy_only=False)
+        m = et.map(med_map).to_numpy(dtype=np.float64)
+        return pa.Table.from_pydict({
+            "event_type": pa.array(et),
+            "dev": pa.array(np.abs(v - m))})
+
+    mad = grouped_histogram_quantiles(
+        ev.map_batches(dev, batch_format="pyarrow"),
+        "event_type", "dev", {"mad": 0.5})
+    out = med.merge(mad[["event_type", "mad"]], on="event_type")
+    out["n"] = out["n"].astype("int64")
+    return out[["event_type", "n", "med", "mad"]]
+
+
+MAD_SQL = """
+WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+           FROM events GROUP BY event_type)
+SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n, MAX(m.med) AS med,
+       quantile_cont(abs(e.value - m.med), 0.5) AS mad
+FROM events e JOIN m USING (event_type)
+GROUP BY e.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity matrix: orphan counts for EVERY foreign-key
+# edge of the star schema in one sweep. Each edge is a column-pruned
+# child read anti-filtered through the byte-gated
+# functions/keyjoin.filter_by_key_set (broadcast below the limit,
+# distributed hash semi-join above — identical results, pinned by
+# test_keyjoin), so no key column ever lands on the driver; the driver
+# holds exactly |edges| scalar counts. Null child keys count as
+# orphans on both sides (the keyjoin anti invariant; the oracle's
+# `IS NULL OR NOT IN (non-null parents)` spells out the same
+# semantics).
+
+_FK_EDGES = (
+    ("customer.c_nationkey->nation", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey",
+     "region", "r_regionkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+     "nation", "n_nationkey"),
+)
+
+
+def ref_integrity_matrix(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    from tag_ray.functions.keyjoin import filter_by_key_set
+    from tag_ray.sources import table_path
+
+    rows = []
+    for edge, child, ckey, parent, pkey in _FK_EDGES:
+        fact = _ctable(sf_dir, child, columns=[ckey])
+        keys = _ctable(sf_dir, parent, columns=[pkey])
+        est = pq.ParquetFile(table_path(sf_dir, parent)).metadata.num_rows
+        orphans = filter_by_key_set(fact, ckey, keys, pkey,
+                                    anti=True, est_rows=est)
+        rows.append({"edge": edge, "n_orphans": int(orphans.count())})
+    out = pd.DataFrame(rows)
+    out["n_orphans"] = out["n_orphans"].astype("int64")
+    return out
+
+
+def ref_matrix_sql() -> str:
+    arms = []
+    for edge, child, ckey, parent, pkey in _FK_EDGES:
+        arms.append(
+            f"SELECT '{edge}' AS edge, CAST(COUNT(*) AS BIGINT) AS n_orphans\n"
+            f"FROM {child} WHERE {ckey} IS NULL OR {ckey} NOT IN\n"
+            f"  (SELECT {pkey} FROM {parent} WHERE {pkey} IS NOT NULL)")
+    return "\nUNION ALL\n".join(arms)
+
+
+# ---------------------------------------------------------------------------
+# Calendar-spine gap filling: per event_type × EVERY day of the global
+# span, the event count — 0 where the stream is silent (the missing-row
+# materialization every time-series monitor needs before alerting).
+# Counts pre-combine map-side and merge through one coarse exchange;
+# the collected set is the result's own cardinality (|type dictionary| ×
+# |calendar span|, bounded by time not data volume), so the driver
+# reindex holds exactly the output.
+
+
+def events_daily_gapfill(sf_dir: str) -> pd.DataFrame:
+    from tag_ray.functions.grouping import grouped_aggregate
+
+    _US_PER_DAY = 86_400_000_000
+    ev = _ctable(sf_dir, "events", columns=["event_type", "ts"])
+
+    def days(b: pa.Table) -> pa.Table:
+        d = (b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+             // _US_PER_DAY)
+        return pa.Table.from_pydict({
+            "event_type": b["event_type"], "day": pa.array(d)})
+
+    daily = grouped_aggregate(ev.map_batches(days, batch_format="pyarrow"),
+                              ["event_type", "day"],
+                              {"n_events": (None, "count")})
+    df = daily.to_pandas()
+    if df.empty:
+        return pd.DataFrame({
+            "event_type": pd.Series([], dtype=object),
+            "day": pd.Series([], dtype="int64"),
+            "n_events": pd.Series([], dtype="int64")})
+    lo, hi = int(df["day"].min()), int(df["day"].max())
+    spine = pd.MultiIndex.from_product(
+        [sorted(df["event_type"].unique()), range(lo, hi + 1)],
+        names=["event_type", "day"])
+    out = (df.set_index(["event_type", "day"])
+           .reindex(spine, fill_value=0).reset_index())
+    out["day"] = out["day"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return out
+
+
+GAPFILL_SQL = """
+WITH c AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM c),
+d AS (SELECT unnest(generate_series((SELECT lo FROM b),
+                                    (SELECT hi FROM b))) AS day),
+t AS (SELECT DISTINCT event_type FROM c)
+SELECT t.event_type, d.day, COALESCE(CAST(c.n AS BIGINT), 0) AS n_events
+FROM t CROSS JOIN d
+LEFT JOIN c ON c.event_type = t.event_type AND c.day = d.day
+"""
+
+
+# ---------------------------------------------------------------------------
+# Ratio-to-report (contribution analysis): each (day, event_type)'s
+# share of that day's total value. Integer-cent partials pre-combine
+# map-side; ONE coarse exchange keyed by day co-locates a day's rows,
+# so the denominator is a vectorized within-bucket transform — the
+# share never needs a second shuffle or a driver pass. The share is a
+# single int64→float64 division in both engines (exact conversions
+# under 2^53), rounded half-away to 6 dp like the oracle's round().
+
+
+def events_type_share(sf_dir: str) -> rd.Dataset:
+    from tag_ray.functions.grouping import coarse_bucket_apply
+
+    _US_PER_DAY = 86_400_000_000
+    ev = _ctable(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "day": (b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                    // _US_PER_DAY),
+            "event_type": b["event_type"].to_pandas(),
+            "v_c": _cents(b["value"].to_numpy(zero_copy_only=False))})
+        g = (df.groupby(["day", "event_type"], sort=False)["v_c"]
+             .sum().reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = (g.groupby(["day", "event_type"], sort=False)["v_c"]
+             .sum().reset_index())
+        tot = m.groupby("day")["v_c"].transform("sum")
+        v = m["v_c"].to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "day": m["day"].astype("int64"),
+            "event_type": m["event_type"],
+            "revenue": v / 100.0,
+            "share": round_half_away(
+                v.astype(np.float64) / tot.to_numpy().astype(np.float64),
+                6)})
+
+    return coarse_bucket_apply(
+        ev.map_batches(partial, batch_format="pyarrow"), ["day"], bucket)
+
+
+TYPE_SHARE_SQL = """
+WITH c AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+         SUM(CAST(round(value*100) AS BIGINT)) AS v_c
+  FROM events GROUP BY 1, 2)
+SELECT day, event_type, v_c/100.0 AS revenue,
+       round(CAST(v_c AS DOUBLE) /
+             CAST(SUM(v_c) OVER (PARTITION BY day) AS DOUBLE), 6) AS share
+FROM c
+"""

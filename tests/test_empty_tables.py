@@ -60,6 +60,13 @@ def empty_dir(tmp_path_factory):
     ("q12_shipping_sla", 0),
     ("events_latest_per_user", 0),
     ("doc_weighted_sample", 0),
+    ("orders_range_join", 0),
+    ("events_value_ohlc", 0),
+    ("events_value_mad", 0),
+    # the matrix always reports every FK edge; zero tables ⇒ 7 zero rows
+    ("ref_integrity_matrix", 7),
+    ("events_daily_gapfill", 0),
+    ("events_type_share", 0),
 ])
 def test_empty_input_matches_oracle_shape(ray_session, empty_dir, name,
                                           want_rows):
