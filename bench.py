@@ -91,19 +91,22 @@ def run_suite(sf_dir: str, num_cpus: int, names: list[str]) -> dict:
                    partitions=list(range(min(n_parts, max(8, num_cpus))))
                    ).count()
     qs = ent.queries()
-    # untimed warm-up of EVERY non-img family at smoke scale (sf0.001):
-    # the r3 warm-up covered only the img decode path, so the first
-    # timed run of each other family paid its cold costs inside its
-    # timed window — worker-side module imports (pandas/polars chains)
-    # plus first-execution topology setup; measured ~5 s landing in
-    # doc_minhash_near_dups alone at sf0.1 (BENCH_r03's minhash row was
-    # 2.5× its steady state for exactly this reason). Per-job costs
-    # amortize to zero at the north metric's 10^12-row scale.
-    warm_sf = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_sf):
-        for name in names:
-            if not name.startswith("img_"):
-                _consume(qs[name](warm_sf))
+    # untimed warm-up of EVERY non-img family at the TARGET sf_dir
+    # (full-scale topology). History: round 3 warmed only the img decode
+    # path; round 4 warmed every family but at sf0.001, which does NOT
+    # warm what the sf0.1 timed run pays — block counts differ, so the
+    # first full-scale execution still absorbs first-run plan/topology
+    # costs (measured round 5: doc_minhash_near_dups rep0 at sf0.1 reads
+    # 1.2-2.4 s after a full sf0.001 warm-up vs 0.6-1.4 s steady state,
+    # and BENCH_r03/r04 recorded 6.65 s / 7.6 s for a 1.7 s pipeline).
+    # The reported quantity is STEADY-STATE throughput (per-job costs
+    # amortize to zero at the north metric's 10^12-row scale), so the
+    # warm-up runs the exact timed workload once, untimed — the same
+    # rationale as the img family's target-scale partition-subset
+    # warm-up above.
+    for name in names:
+        if not name.startswith("img_"):
+            _consume(qs[name](sf_dir))
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name in names:
