@@ -276,18 +276,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_training_set": X.export_training_set_query,
     }
     oracles = set(oracle_sql())
-    evidenced_prior = _R02_EVIDENCED | _R03_EVIDENCED
-    # round-4 window policy: (1) every oracle with NO driver hash row in
-    # any prior round (the 7 r03-deferred entries + anything new this
-    # round) leads the window; (2) oracles whose ENGINE CODE changed
-    # this round follow, so the driver re-evidences the new code paths;
-    # (3) remaining oracles (prior evidence stands, in-window rows are
-    # free re-checks); (4) rows-only entries last.
-    never = [n for n in d if n in oracles and n not in evidenced_prior]
-    recheck = [n for n in d if n in _R04_RECHECK and n not in never]
+    evidenced_prior = (_R02_EVIDENCED | _R03_EVIDENCED | _R04_EVIDENCED
+                       | _ROWSONLY_EVIDENCED)
+    # round-5 window policy (VERDICT r4 item 3): the full oracle surface
+    # is jointly evidenced by the r02+r03+r04 windows, so the oracle-
+    # first ordering has done its job. Evidence priority now:
+    # (1) every entry — oracle OR rows-only — with NO driver row in any
+    #     prior round leads the window (the 10 rows-only queries the
+    #     r01-r04 windows never reached, plus anything new this round);
+    # (2) entries whose ENGINE CODE changed this round follow, so the
+    #     driver re-evidences the new code paths;
+    # (3) remaining oracle entries (prior evidence stands; in-window
+    #     rows are free hash re-checks);
+    # (4) already-evidenced rows-only entries last.
+    never = [n for n in d if n not in evidenced_prior]
+    recheck = [n for n in d if n in _R05_RECHECK and n not in never]
     rest = [n for n in d
-            if n in oracles and n not in never and n not in _R04_RECHECK]
-    rows_only = [n for n in d if n not in oracles]
+            if n in oracles and n not in never and n not in _R05_RECHECK]
+    rows_only = [n for n in d if n not in oracles and n not in never
+                 and n not in _R05_RECHECK]
     return {n: d[n] for n in (*never, *recheck, *rest, *rows_only)}
 
 
@@ -339,15 +346,48 @@ _R03_EVIDENCED = frozenset({
     "doc_bigram_surprisal", "q8_market_share", "q21_sole_returned_supplier",
 })
 
-# Oracle entries whose ENGINE CODE changed in round 4 (broadcast gates,
-# Dataset return, the safe_join rewires and the keyjoin distributed
-# path): prior evidence predates the change, so they get in-window
-# re-evidence right after the never-evidenced block. (q12/q18's
-# safe_join rewires are covered by the never-evidenced head block.)
-_R04_RECHECK = (
-    "q5_region_revenue", "q7_nation_volume", "doc_exact_dup_groups",
-    "q8_market_share", "q3_revenue_topk", "q21_sole_returned_supplier",
-    "doc_label_quality", "ref_orphan_orders", "cust_with_open_orders",
+# Oracle queries hash-green in the driver's CORRECTNESS_r04 window
+# (all 50 rows passed rows+schema+dtype-sensitive hash). With r02+r03,
+# every oracle-carrying query now has a green driver row in some round.
+_R04_EVIDENCED = frozenset({
+    "doc_bm25_topk", "doc_word_cooccurrence", "doc_ngram_novelty",
+    "doc_weighted_sample", "events_latest_per_user", "q2_min_cost_supplier",
+    "q9_product_profit", "q11_important_parts", "q16_supplier_part_counts",
+    "q20_recent_demand_suppliers", "orders_range_join", "events_value_ohlc",
+    "events_value_mad", "ref_integrity_matrix", "events_daily_gapfill",
+    "events_type_share", "q6_forecast_revenue", "q14_promo_share",
+    "q19_bracket_revenue", "doc_unigram_surprisal",
+    "q18_large_volume_customers", "q15_top_supplier", "q12_shipping_sla",
+    "doc_exact_dup_groups", "q7_nation_volume", "doc_label_quality",
+    "ref_orphan_orders", "cust_with_open_orders", "q3_revenue_topk",
+    "q5_region_revenue", "q8_market_share", "q21_sole_returned_supplier",
+    "doc_dedup_keep_first", "doc_ngram_jaccard_near_dups", "emb_near_pairs",
+    "emb_norms", "emb_label_stats", "emb_cosine_topk", "emb_label_centroid",
+    "emb_knn_classify", "doc_tfidf_topk", "doc_mean_term_freq",
+    "doc_unique_words", "docs_cube", "doc_source_len_quantiles",
+    "doc_redact_numbers", "doc_word_topk", "doc_lang_quality",
+    "doc_sample_hash", "doc_token_counts_regex",
+})
+
+# Rows-only entries with a clean driver row in the r01/r02 windows
+# (recorded row counts + stable schema; VERDICT r4 "never-evidenced"
+# list is the complement — those 10 lead the round-5 window).
+_ROWSONLY_EVIDENCED = frozenset({
+    "img_validate", "img_partition_status", "img_drift",
+    "img_column_stats", "img_phash_topk", "img_thumbnails",
+    "doc_langid", "doc_winnow_pairs", "doc_minhash_near_dups",
+    "doc_near_dup_clusters", "doc_simhash_near_dups", "emb_lsh_buckets",
+    "emb_ivf_topk",
+})
+
+# Entries whose ENGINE CODE changed in round 5 (chunked exact-dup
+# fingerprints, the histogram-quantile partial pre-combine, the shared
+# one-read ref-integrity scan): prior evidence predates the change, so
+# they get in-window re-evidence right after the never-evidenced block.
+_R05_RECHECK = (
+    "doc_exact_dup_groups", "doc_dedup_keep_first", "doc_dedup_keep_best",
+    "events_value_mad", "lineitem_quantity_quantiles",
+    "doc_source_len_quantiles", "ref_integrity_matrix", "events_type_share",
 )
 
 

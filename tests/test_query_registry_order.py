@@ -11,42 +11,38 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 
-def test_oracle_entries_precede_rows_only():
-    import __ray_entry__ as ent
-
-    names = list(ent.queries())
-    oracle = set(ent.oracle_sql())
-    first_no_oracle = min(i for i, n in enumerate(names) if n not in oracle)
-    late_oracle = [n for n in names[first_no_oracle:] if n in oracle]
-    assert not late_oracle, (
-        f"oracle-carrying queries placed after rows-only entries "
-        f"(would lose their driver correctness row): {late_oracle}")
-
-
 def test_window_slots_go_to_first_time_evidence():
-    """Round-4 policy: every oracle with NO prior driver hash row
-    (outside _R02_EVIDENCED | _R03_EVIDENCED — the 7 r03 deferrals plus
-    any round-4 additions) must LEAD the window, followed by the
-    changed-code re-evidence block (_R04_RECHECK); all of both groups
-    inside the ~50-row window."""
+    """Round-5 policy (VERDICT r4 item 3): the oracle surface is fully
+    evidenced by r02+r03+r04, so EVERY never-evidenced entry — oracle
+    or rows-only (the 10 queries no prior window reached, plus anything
+    added this round) — must LEAD the window, followed by the
+    changed-code re-evidence block (_R05_RECHECK); all of both groups
+    inside the ~50-row window, remaining oracle entries before
+    already-evidenced rows-only entries."""
     import __ray_entry__ as ent
 
     names = list(ent.queries())
     oracle = set(ent.oracle_sql())
-    win = names[:50]
-    assert all(n in oracle for n in win), \
-        [n for n in win if n not in oracle]
-    prior = ent._R02_EVIDENCED | ent._R03_EVIDENCED
-    never = [n for n in names if n in oracle and n not in prior]
-    assert never, "no never-evidenced oracles left — retire this policy"
+    prior = (ent._R02_EVIDENCED | ent._R03_EVIDENCED | ent._R04_EVIDENCED
+             | ent._ROWSONLY_EVIDENCED)
+    never = [n for n in names if n not in prior]
+    assert never, "no never-evidenced entries left — retire this policy"
     assert set(names[:len(never)]) == set(never), (
-        f"never-evidenced oracles must lead the window: "
+        f"never-evidenced entries must lead the window: "
         f"{[n for n in never if n not in names[:len(never)]]}")
-    assert len(never) <= 50, "never-evidenced block overflows the window"
-    recheck_block = names[len(never):len(never) + len(ent._R04_RECHECK)]
-    assert set(recheck_block) == set(ent._R04_RECHECK), recheck_block
-    for n in ent._R04_RECHECK:
-        assert n in win, f"changed-code entry {n} fell outside the window"
+    recheck = [n for n in ent._R05_RECHECK if n not in never]
+    block = names[len(never):len(never) + len(recheck)]
+    assert set(block) == set(recheck), block
+    win = names[:50]
+    for n in (*never, *recheck):
+        assert n in win, f"first-evidence entry {n} fell outside the window"
+    # within the remainder, oracle entries precede rows-only entries so
+    # spare window slots become free hash re-checks, not weaker rows
+    tail = names[len(never) + len(recheck):]
+    first_rows_only = next(
+        (i for i, n in enumerate(tail) if n not in oracle), len(tail))
+    late_oracle = [n for n in tail[first_rows_only:] if n in oracle]
+    assert not late_oracle, late_oracle
 
 
 def test_oracle_keys_subset_of_queries():
