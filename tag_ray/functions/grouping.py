@@ -217,7 +217,11 @@ def collect_partial_sums(ds, keys: list[str], sums: list[str],
     if mat.count() > row_cap:
         def comb(df):
             if keys:
-                return (df.groupby(keys, sort=False)[sums]
+                # dropna=False: quantile histograms carry NULL-value
+                # cells as real keys (n mirrors COUNT(*)); pandas'
+                # default would silently drop those rows. No-null key
+                # streams combine identically either way.
+                return (df.groupby(keys, sort=False, dropna=False)[sums]
                         .sum().reset_index())
             return df[sums].sum().to_frame().T
 

@@ -32,7 +32,8 @@ def _interp(vals: np.ndarray, cum: np.ndarray, p: float) -> float:
 
 
 def grouped_histogram_quantiles(ds: rd.Dataset, key_col: str, val_col: str,
-                                probs: dict[str, float]) -> pd.DataFrame:
+                                probs: dict[str, float],
+                                row_cap: int = 100_000) -> pd.DataFrame:
     """One row per distinct ``key_col``: ``n`` plus one column per
     ``probs`` entry (name → quantile). Exact for any value column whose
     (key, value) cell count fits the driver (bounded dictionaries)."""
@@ -46,7 +47,17 @@ def grouped_histogram_quantiles(ds: rd.Dataset, key_col: str, val_col: str,
               .size().reset_index(name="n")
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    # bounded driver collect (ADVICE r4): the partial stream is
+    # O(blocks × cells-per-block) unmerged rows — fine at today's block
+    # counts, but the driver term grows with blocks × value grid at
+    # north-star scale. collect_partial_sums pre-combines one tree
+    # level inside the dataset above its row cap; integer counts merge
+    # associatively so the result is bit-identical either way.
+    from tag_ray.functions.grouping import collect_partial_sums
+
+    parts = collect_partial_sums(
+        ds.map_batches(partial, batch_format="pyarrow"), [key_col, "v"],
+        ["n"], row_cap=row_cap)
     if parts.empty:
         # 0-row Datasets lose their schema through to_pandas() (columns
         # []) — collapse to the typed empty result before the groupby

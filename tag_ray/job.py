@@ -59,9 +59,17 @@ def list_partitions(images_path: str) -> list[int]:
     On a real Lance/Hive-partitioned table this comes from table
     metadata without a scan; the sandbox parquet corpus is small enough
     that a single-column scan is the honest stand-in."""
+    from tag_ray.functions.grouping import grouped_aggregate
+
     ds = V.read_images(images_path, columns=["partition_id"],
                        num_blocks=V.keycol_num_blocks())
-    out = ds.groupby("partition_id").aggregate(Count(alias_name="n")).to_pandas()
+    # grouped_aggregate, not native groupby: the key is O(partitions)-
+    # cardinal and Ray's native aggregate pays a Python accumulate per
+    # distinct group (CLAUDE.md lesson). The per-shard aggregates in
+    # run_shard stay native — their group count is bounded by
+    # shard_size, never the corpus.
+    out = grouped_aggregate(ds, ["partition_id"],
+                            {"n": (None, "count")}).to_pandas()
     return sorted(int(p) for p in out["partition_id"])
 
 
@@ -132,11 +140,16 @@ def merge_sketches(out_dir: str) -> None:
     shards = sorted(glob.glob(os.path.join(sk_root, "shard=*", "*.parquet")))
     if not shards:
         return
+    from tag_ray.functions.grouping import coarse_grouped_apply
     from tag_ray.stages.stats import merge_partials_group
 
     ds = rd.read_parquet(shards)
-    merged = ds.groupby(["key", "column"]).map_groups(
-        merge_partials_group, batch_format="pandas")
+    # coarse buckets, not native groupby().map_groups: the key is
+    # (partition × column)-cardinal (VERDICT r4 item 5). min_size=1 —
+    # a column with a single shard partial must still pass through the
+    # merge (map_groups semantics), never be dropped.
+    merged = coarse_grouped_apply(ds, ["key", "column"],
+                                  merge_partials_group, min_size=1)
     mdir = os.path.join(sk_root, "merged")
     shutil.rmtree(mdir, ignore_errors=True)  # recomputed from partials, never appended
     merged.write_parquet(mdir)
@@ -197,9 +210,16 @@ def write_report(out_dir: str) -> None:
                       recursive=True)
     if not files:
         return
-    counts = (rd.read_parquet(files)
-              .groupby(["check", "partition_id"])
-              .aggregate(Count(alias_name="n")).to_pandas())
+    # grouped_aggregate, not native groupby().aggregate (VERDICT r4
+    # item 5): the key is (check × partition_id) — bounded by checks but
+    # O(partitions)-cardinal, and Ray's native aggregate pays a Python
+    # accumulate per distinct group (CLAUDE.md: 237 s for 138k groups);
+    # at 10^6 partitions this report would be every job's slow stage.
+    from tag_ray.functions.grouping import grouped_aggregate
+
+    counts = grouped_aggregate(
+        rd.read_parquet(files, columns=["check", "partition_id"]),
+        ["check", "partition_id"], {"n": (None, "count")}).to_pandas()
     by_check = counts.groupby("check")["n"].sum().to_dict()
     by_partition = counts.groupby("partition_id")["n"].sum().to_dict()
     with open(os.path.join(out_dir, "_REPORT.json"), "w") as f:

@@ -26,7 +26,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Min, Sum
 
 from tag_ray.codecs.phash import hamming64, phash_bands
-from tag_ray.functions.hashing import hash_strings64
+from tag_ray.functions.hashing import hash_strings64, md5_hex_column
 from tag_ray.functions.rounding import round_half_away
 
 from tag_ray.sources import ctable, table_rows
@@ -42,7 +42,9 @@ def doc_exact_dup_groups(sf_dir: str) -> rd.Dataset:
     docs = _ctable(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fp(b: pa.Table) -> pa.Table:
-        fps = [hashlib.md5(t.encode()).hexdigest() for t in b["text"].to_pylist()]
+        # buffer-sliced md5 (functions/hashing.md5_hex_column): digests
+        # the Arrow utf-8 bytes directly, no per-row str+encode
+        fps = md5_hex_column(b["text"])
         return pa.Table.from_pydict(
             {"fingerprint": pa.array(fps, pa.string()), "doc_id": b["doc_id"]})
 
@@ -99,7 +101,9 @@ def doc_dedup_keep_first(sf_dir: str) -> rd.Dataset:
     docs = _ctable(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fp(b: pa.Table) -> pa.Table:
-        fps = [hashlib.md5(t.encode()).hexdigest() for t in b["text"].to_pylist()]
+        # buffer-sliced md5 (functions/hashing.md5_hex_column): digests
+        # the Arrow utf-8 bytes directly, no per-row str+encode
+        fps = md5_hex_column(b["text"])
         return pa.Table.from_pydict(
             {"fingerprint": pa.array(fps, pa.string()), "doc_id": b["doc_id"]})
 

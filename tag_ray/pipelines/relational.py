@@ -4922,12 +4922,28 @@ def ref_integrity_matrix(sf_dir: str) -> pd.DataFrame:
     from tag_ray.functions.keyjoin import filter_by_key_set
     from tag_ray.sources import table_path
 
+    # one read per CHILD table, not per edge (ADVICE r4): lineitem
+    # carries three FK edges, so a per-edge read scanned it three
+    # times. The multi-column read is shared across that child's
+    # edges; the per-edge filter_by_key_set gating is unchanged.
+    child_cols: dict[str, list[str]] = {}
+    for _, child, ckey, _, _ in _FK_EDGES:
+        cols = child_cols.setdefault(child, [])
+        if ckey not in cols:
+            cols.append(ckey)
+    # materialize only multi-edge children: a lazy Dataset re-executes
+    # its read once per consuming edge, which is exactly the triple
+    # scan this shares away. Key columns only (3 × int64 for lineitem),
+    # so the object store holds/spills a small fraction of the table.
+    facts = {child: (_ctable(sf_dir, child, columns=cols).materialize()
+                     if len(cols) > 1
+                     else _ctable(sf_dir, child, columns=cols))
+             for child, cols in child_cols.items()}
     rows = []
     for edge, child, ckey, parent, pkey in _FK_EDGES:
-        fact = _ctable(sf_dir, child, columns=[ckey])
         keys = _ctable(sf_dir, parent, columns=[pkey])
         est = pq.ParquetFile(table_path(sf_dir, parent)).metadata.num_rows
-        orphans = filter_by_key_set(fact, ckey, keys, pkey,
+        orphans = filter_by_key_set(facts[child], ckey, keys, pkey,
                                     anti=True, est_rows=est)
         rows.append({"edge": edge, "n_orphans": int(orphans.count())})
     out = pd.DataFrame(rows)
@@ -5032,6 +5048,15 @@ def events_type_share(sf_dir: str) -> rd.Dataset:
              .sum().reset_index())
         tot = m.groupby("day")["v_c"].transform("sum")
         v = m["v_c"].to_numpy().astype(np.int64)
+        # a day summing to exactly 0 cents (possible only with negative
+        # or all-sub-half-cent values — current fixtures guarantee
+        # positives, min 0.03) would hit numpy inf/nan where DuckDB's
+        # double 0/0 behavior is version-dependent: fail loudly instead
+        # of silently hash-mismatching on a future data change
+        if (tot.to_numpy() == 0).any():
+            raise ValueError(
+                "events_type_share: a day's cent total is 0 — share is "
+                "undefined and oracle parity unverified for this data")
         return pd.DataFrame({
             "day": m["day"].astype("int64"),
             "event_type": m["event_type"],

@@ -172,3 +172,34 @@ def test_collect_partial_sums_tree(ray_session):
     t2 = collect_partial_sums(ds, [], ["a", "b"], row_cap=0)
     assert d2[["a", "b"]].sum().equals(t2[["a", "b"]].sum())
     assert t2[["a", "b"]].dtypes.tolist() == [np.dtype("int64")] * 2
+
+
+def test_histogram_quantiles_tree_bit_identical(ray_session):
+    """grouped_histogram_quantiles' partial collect routes through the
+    collect_partial_sums tree level (ADVICE r4): forced-tree (row_cap=0)
+    must be bit-identical to the direct collect, INCLUDING null value
+    cells (the tree combine must not drop NaN keys — n mirrors
+    COUNT(*))."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from tag_ray.functions.quantiles import grouped_histogram_quantiles
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 9, 400).astype("float64")
+    vals[rng.integers(0, 400, 25)] = np.nan  # null cells
+    df = pd.DataFrame({"k": rng.integers(0, 5, 400), "v": vals})
+    ds = rd.from_pandas(df).repartition(9)
+    probs = {"p25": 0.25, "med": 0.5, "p90": 0.9}
+
+    direct = grouped_histogram_quantiles(ds, "k", "v", probs,
+                                         row_cap=10**9)
+    tree = grouped_histogram_quantiles(ds, "k", "v", probs, row_cap=0)
+    pd.testing.assert_frame_equal(
+        direct.sort_values("k").reset_index(drop=True),
+        tree.sort_values("k").reset_index(drop=True))
+    # n mirrors COUNT(*) — nulls counted
+    exp_n = df.groupby("k").size().sort_index()
+    got_n = direct.set_index("k")["n"].sort_index()
+    assert (exp_n.to_numpy() == got_n.to_numpy()).all()
