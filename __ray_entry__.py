@@ -45,6 +45,8 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from tag_ray.pipelines.audio import audio_ogg_validate as \
+        _audio_ogg_validate
     from tag_ray.pipelines import dedup as D
     from tag_ray.pipelines import drift as DR
     from tag_ray.pipelines import embeddings as E
@@ -274,6 +276,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_ivfpq_topk": E.emb_ivfpq_topk,
         "emb_kmeans": E.emb_kmeans,
         "export_training_set": X.export_training_set_query,
+        # round-5 addition: OGG paged-container validation (page CRC +
+        # cross-page packet reassembly — the reference's stateful demux,
+        # ogg.go:60-134). Non-SQL-expressible (binary container parse)
+        # ⇒ rows-only driver row + the test_oggp pytest gate; never-
+        # evidenced, so the window policy pulls it into the head block.
+        "audio_ogg_validate": _audio_ogg_validate,
     }
     oracles = set(oracle_sql())
     evidenced_prior = (_R02_EVIDENCED | _R03_EVIDENCED | _R04_EVIDENCED

@@ -95,9 +95,11 @@ class AudioFeatures:
     chunk walk, PCM 8/16/32-bit + float32, 10 MB declared-size guard,
     VERDICT r3 Missing #2; channels are averaged to mono before
     feature extraction, and the PARSED sample rate / length override
-    the declared metadata columns). Non-WAV payloads keep the stub
+    the declared metadata columns). OGG paged streams get a real
+    decode too (codecs/oggp.py: page CRC verify + cross-page packet
+    reassembly). Remaining formats (mp3/flac/aac) keep the stub
     contract: deterministic payload-seeded fake when ``strict=False``,
-    clearly-marked NotImplementedError when ``strict=True`` (mp3/ogg
+    clearly-marked NotImplementedError when ``strict=True`` (those
     decoders need libs this container doesn't have)."""
 
     N_FEATURES = 16
@@ -116,6 +118,18 @@ class AudioFeatures:
             if mono.size == 0:
                 mono = np.zeros(1, np.float32)
             return mono, rate
+        if data[:4] == b"OggS":
+            # real paged-container decode (round 5): page CRC verify +
+            # cross-page packet reassembly, codecs/oggp.py. DecodeError
+            # (bad CRC / truncation) contains to the row like WAV.
+            from tag_ray.codecs import oggp
+
+            out = oggp.parse_audio(data)
+            pcm = out["pcm"].astype(np.float32)
+            mono = pcm.mean(axis=1) if pcm.shape[1] > 1 else pcm[:, 0]
+            if mono.size == 0:
+                mono = np.zeros(1, np.float32)
+            return mono, out["sample_rate"]
         if self.strict:
             raise NotImplementedError(
                 "non-WAV audio decode requires libsndfile/ffmpeg — not "
